@@ -1,0 +1,41 @@
+"""Synthetic test rasters.
+
+The reference validates every dtype/rung/common-factor combination by deriving
+wider-typed images from a single 8-bit seed image via multiplication
+(test_qb3.cpp:43-50, :675-685).  We reproduce that strategy with seeded
+synthetic imagery: smooth gradients plus structured noise approximate the
+statistics of natural photos (low-rung deltas with occasional spikes).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+def natural8(h: int = 64, w: int = 64, bands: int = 1, seed: int = 0) -> np.ndarray:
+    """A smooth-ish 8-bit image: gradients + blurred noise + edges."""
+    rng = np.random.default_rng(seed)
+    y, x = np.mgrid[0:h, 0:w]
+    out = np.zeros((h, w, bands), dtype=np.uint8)
+    for c in range(bands):
+        base = 96 + 64 * np.sin(x / (9.0 + 3 * c)) + 48 * np.cos(y / (13.0 + 2 * c))
+        noise = rng.normal(0, 6, size=(h, w))
+        # crude blur to get spatial correlation
+        noise = (noise + np.roll(noise, 1, 0) + np.roll(noise, 1, 1)) / 3
+        img = base + noise
+        # a few hard edges to exercise rung jumps
+        img[(x + y * 2) % 37 < 2] += 90
+        out[:, :, c] = np.clip(img, 0, 255).astype(np.uint8)
+    return out
+
+
+def to_type(img8: np.ndarray, dtype, mult: int = 1) -> np.ndarray:
+    """Widen an 8-bit image by multiplication (the reference's `to<T>()` trick)."""
+    return (img8.astype(dtype) * np.array(mult, dtype=dtype)).astype(dtype)
+
+
+def random_noise(h: int, w: int, bands: int, dtype, seed: int = 1) -> np.ndarray:
+    """Full-range incompressible noise (exercises stored fallback / high rungs)."""
+    rng = np.random.default_rng(seed)
+    info = np.iinfo(dtype)
+    return rng.integers(info.min, info.max, size=(h, w, bands), endpoint=True, dtype=dtype)
