@@ -1,0 +1,344 @@
+"""Public encoder/decoder API, mirroring the reference C API surface
+(QB3.h:88-162) with a Pythonic face.
+
+    enc = Encoder(width, height, bands, DType.U8)
+    enc.set_mode(Mode.FTL)
+    stream = enc.encode(img)          # bytes, bit-exact QB3 v2
+
+    info, img = decode(stream)        # full decode
+
+The heavy lifting runs as jitted JAX kernels (ops/encode.py, ops/bitpack.py);
+this module is the host-side orchestration: validation, quantization, small
+image repacking, container framing, RLE0 post-pass and fallbacks, mirroring
+qb3_encode (QB3encode.cpp:488-574).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from . import container, rle
+from .constants import (
+    B,
+    B2,
+    HILBERT,
+    QB3_MAXBANDS,
+    TYPESIZES,
+    ZCURVE,
+    DType,
+    Error,
+    Mode,
+    is_best_mode,
+    is_fast_mode,
+    mode_uses_zcurve,
+    needs_rle,
+)
+
+NP_FROM_DT = {
+    DType.U8: np.uint8, DType.I8: np.int8, DType.U16: np.uint16, DType.I16: np.int16,
+    DType.U32: np.uint32, DType.I32: np.int32, DType.U64: np.uint64, DType.I64: np.int64,
+}
+DT_FROM_NP = {np.dtype(v): k for k, v in NP_FROM_DT.items()}
+UNSIGNED = {1: np.uint8, 2: np.uint16, 4: np.uint32, 8: np.uint64}
+
+
+def default_cband(nbands: int) -> list[int]:
+    """RGB(A) default: R-G, G, B-G (QB3encode.cpp:40-45)."""
+    cband = list(range(nbands))
+    if nbands in (3, 4):
+        cband[0] = cband[2] = 1
+    return cband
+
+
+def normalize_cband(nbands: int, cband) -> list[int]:
+    """Clamp invalid entries and force core bands independent
+    (QB3encode.cpp:63-77)."""
+    cb = [cband[i] if cband[i] < nbands else i for i in range(nbands)]
+    for i in range(nbands):
+        if cb[i] != i:
+            cb[cb[i]] = cb[i]
+    return cb
+
+
+def max_encoded_size(xsize: int, ysize: int, nbands: int, dtype: int) -> int:
+    """Worst-case output bytes (QB3encode.cpp:112-118)."""
+    n = 16 * ((xsize + 3) // 4) * ((ysize + 3) // 4) * nbands
+    bits_per_value = 17.0 / 16.0 + 8 * TYPESIZES[dtype]
+    return 1024 + int(bits_per_value * n / 8)
+
+
+# ---------------------------------------------------------------- quantization
+
+def _tdiv(n, d):
+    """C-style truncating integer division (toward zero)."""
+    q = n // d
+    return q + ((n % d != 0) & (n < 0))
+
+
+def _tmod(n, d):
+    return n - _tdiv(n, d) * d
+
+
+def quantize(arr: np.ndarray, q: int, away: bool) -> np.ndarray:
+    """In the signed domain, round-to/away-from-zero (QB3encode.cpp:137-186)."""
+    v = arr
+    d = np.array(q, dtype=arr.dtype)
+    if q == 2:
+        return (_tdiv(v, d) + _tmod(v, d)).astype(arr.dtype) if away else _tdiv(v, d).astype(arr.dtype)
+    if q == 3:
+        return (_tdiv(v, d) + _tdiv(_tmod(v, d), np.array(2, arr.dtype))).astype(arr.dtype)
+    if q == 4:
+        sub = 2 if away else 3
+        return (_tdiv(v, d) + _tdiv(_tmod(v, d), np.array(sub, arr.dtype))).astype(arr.dtype)
+    m = _tmod(v, d)
+    if away:
+        h = _tdiv(d, np.array(2, arr.dtype)) + _tmod(d, np.array(2, arr.dtype))
+        return (_tdiv(v, d) + (~(v < 0) & (m >= h)) - ((v < 0) & ((m + h) <= 0))).astype(arr.dtype)
+    h = _tdiv(d, np.array(2, arr.dtype))
+    return (_tdiv(v, d) + (~(v < 0) & (m > h)) - ((v < 0) & ((m + h) < 0))).astype(arr.dtype)
+
+
+def dequantize(arr: np.ndarray, q: int) -> np.ndarray:
+    """Clamped multiply-back (QB3decode.cpp:77-107)."""
+    info = np.iinfo(arr.dtype)
+    qa = np.array(q, dtype=arr.dtype)
+    mai = np.array(info.max // q, dtype=arr.dtype)
+    out = np.where(arr <= mai, arr * qa, np.array(info.max, arr.dtype))
+    if info.min < 0 and q > 2:
+        # trunc(min/q), matching the C division semantics
+        mii = np.array(int(info.min) // q + (1 if int(info.min) % q else 0), arr.dtype)
+        out = np.where(arr < mii, np.array(info.min, arr.dtype), out)
+    return out.astype(arr.dtype)
+
+
+# -------------------------------------------------------------- small images
+
+def repack_small(img: np.ndarray) -> np.ndarray:
+    """Repack an image with a dimension < 4 into a B-aligned layout
+    (QB3encode.cpp:351-389)."""
+    h, w, nb = img.shape
+    ngroups = (h * w + B2 - 1) // B2
+    flat = np.zeros((ngroups * B2 * nb,), dtype=img.dtype)
+    if w < B:  # narrow and tall: row by row
+        data = img.reshape(-1)
+        flat[: data.size] = data
+        return flat.reshape(ngroups * B, B, nb)
+    # short and wide: column by column
+    data = img.transpose(1, 0, 2).reshape(-1)
+    flat[: data.size] = data
+    return flat.reshape(B, ngroups * B, nb)
+
+
+def unpack_small(img: np.ndarray, h: int, w: int, nb: int) -> np.ndarray:
+    """Inverse of repack_small (QB3decode.cpp:337-353)."""
+    flat = img.reshape(-1)[: h * w * nb]
+    if w < B:
+        return flat.reshape(h, w, nb)
+    return flat.reshape(w, h, nb).transpose(1, 0, 2)
+
+
+# ------------------------------------------------------------------- encoder
+
+@functools.lru_cache(maxsize=64)
+def _fast_kernel(shape, npdtype, order, cband, skipstep, n_words):
+    from .ops.bitpack import pack_symbols
+    from .ops.encode import encode_fast_blocks
+
+    def run(img, entry_prev, entry_runbits):
+        codes, lens, exit_prev, exit_runbits = encode_fast_blocks(
+            img, entry_prev, entry_runbits, order, cband, skipstep)
+        words, total = pack_symbols(codes, lens, n_words)
+        return words, total, exit_prev, exit_runbits
+
+    return jax.jit(run)
+
+
+@functools.lru_cache(maxsize=64)
+def _best_kernel(shape, npdtype, order, cband, n_words):
+    from .ops.bitpack import pack_symbols
+    from .ops.encode_best import encode_best_blocks
+
+    def run(img, entry_prev, entry_runbits, entry_cf):
+        codes, lens, exit_prev, exit_runbits, exit_cf = encode_best_blocks(
+            img, entry_prev, entry_runbits, entry_cf, order, cband)
+        words, total = pack_symbols(codes, lens, n_words)
+        return words, total, exit_prev, exit_runbits, exit_cf
+
+    return jax.jit(run)
+
+
+class Encoder:
+    """Mirror of the encsp handle (QB3encode.cpp:26-57)."""
+
+    def __init__(self, width: int, height: int, bands: int, dtype: DType):
+        if not (0 < width <= 0x10000 and 0 < height <= 0x10000
+                and 0 < bands <= QB3_MAXBANDS and 0 <= dtype <= DType.I64):
+            raise ValueError("invalid encoder parameters")
+        self.xsize = width
+        self.ysize = height
+        self.nbands = bands
+        self.dtype = DType(dtype)
+        self.quanta = 1
+        self.away = False
+        self.mode = Mode.FTL
+        self.order = 0
+        self.stride = 0
+        self.cband = default_cband(bands)
+        self.error = Error.OK
+        self.reset()
+
+    def reset(self):
+        """qb3_reset_encoder: clear persisted band state."""
+        self.band_prev = np.zeros(self.nbands, dtype=np.uint64)
+        self.band_runbits = np.zeros(self.nbands, dtype=np.int32)
+        self.band_cf = np.zeros(self.nbands, dtype=np.uint64)
+        self.error = Error.OK
+
+    def set_mode(self, mode: int) -> Mode:
+        if 0 <= mode < Mode.END:
+            self.mode = Mode(mode)
+        if mode_uses_zcurve(self.mode):
+            self.order = ZCURVE  # sticky, like QB3encode.cpp:120-134
+        return self.mode
+
+    def set_quanta(self, q: int, away: bool = False) -> bool:
+        if q < 1:
+            return False
+        self.quanta = int(q)
+        self.away = bool(away)
+        if q == 1:
+            return True
+        np_dt = NP_FROM_DT[self.dtype]
+        return q <= np.iinfo(np_dt).max
+
+    def set_coreband(self, cband) -> list[int]:
+        self.cband = normalize_cband(self.nbands, list(cband))
+        return self.cband
+
+    def set_stride(self, stride: int):
+        self.stride = stride
+
+    def max_encoded_size(self) -> int:
+        return max_encoded_size(self.xsize, self.ysize, self.nbands, self.dtype)
+
+    # ---------------------------------------------------------------- encode
+
+    def _source_view(self, source: np.ndarray) -> np.ndarray:
+        """Apply stride and shape checks -> contiguous (H, W, C) array."""
+        np_dt = NP_FROM_DT[self.dtype]
+        src = np.asarray(source)
+        if src.dtype != np.dtype(np_dt):
+            raise ValueError(f"dtype mismatch: {src.dtype} vs {np_dt}")
+        if self.stride:
+            flat = src.reshape(-1)
+            rows = [flat[y * self.stride:(y * self.stride) + self.xsize * self.nbands]
+                    for y in range(self.ysize)]
+            src = np.stack(rows).reshape(self.ysize, self.xsize, self.nbands)
+        else:
+            src = src.reshape(self.ysize, self.xsize, self.nbands)
+        return np.ascontiguousarray(src)
+
+    def _stored(self, raw: np.ndarray) -> bytes:
+        hdr = container.write_headers(
+            self.xsize, self.ysize, self.nbands, self.dtype, Mode.STORED,
+            self.cband, self.quanta, self.order)
+        return hdr + raw.tobytes()
+
+    def encode(self, source: np.ndarray) -> bytes:
+        """qb3_encode (QB3encode.cpp:488-574)."""
+        src = self._source_view(source)
+        raw_size = src.nbytes
+        if self.xsize * self.ysize <= B2:
+            return self._stored(src)
+
+        user_mode = self.mode
+        mode = user_mode
+        if needs_rle(mode):
+            mode = {Mode.RLE: Mode.BASE_Z, Mode.CF_RLE: Mode.CF,
+                    Mode.RLE_H: Mode.BASE_H, Mode.CF_RLE_H: Mode.CF_H}[mode]
+
+        work = src
+        if self.quanta >= 2:
+            work = quantize(work, self.quanta, self.away)
+        uns = work.view(UNSIGNED[work.dtype.itemsize])
+
+        if self.xsize < B or self.ysize < B:
+            uns = repack_small(uns)
+
+        header = container.write_headers(
+            self.xsize, self.ysize, self.nbands, self.dtype, mode,
+            self.cband, self.quanta, self.order)
+
+        payload, state = self._encode_payload(uns, mode)
+        result = header + payload
+
+        if needs_rle(user_mode):
+            # RLE post-pass: only if reasonable and it shrinks (QB3encode.cpp:536-566)
+            if len(result) <= self.max_encoded_size() // 2:
+                packed = rle.rle0_encode(payload)
+                if len(packed) < len(payload) and \
+                        len(packed) <= self.max_encoded_size() - len(result):
+                    header2 = container.write_headers(
+                        self.xsize, self.ysize, self.nbands, self.dtype, user_mode,
+                        self.cband, self.quanta, self.order)
+                    self._commit_state(state)
+                    return header2 + packed
+            self._commit_state(state)
+            return result
+
+        if raw_size > len(result):
+            self._commit_state(state)
+            return result
+        return self._stored(src)
+
+    def _encode_payload(self, uns: np.ndarray, mode: Mode):
+        h, w, nb = uns.shape
+        order = self.order or HILBERT
+        n_words = (max_encoded_size(w, h, nb, self.dtype) + 3) // 4 + 2
+        if is_fast_mode(mode):
+            kern = _fast_kernel((h, w, nb), uns.dtype.name, order,
+                                tuple(self.cband), mode == Mode.FTL, n_words)
+            words, total, xprev, xrun = kern(
+                jnp.asarray(uns),
+                jnp.asarray(self.band_prev.astype(uns.dtype)),
+                jnp.asarray(self.band_runbits))
+            state = (np.asarray(xprev), np.asarray(xrun), None)
+        elif is_best_mode(mode):
+            kern = _best_kernel((h, w, nb), uns.dtype.name, order,
+                                tuple(self.cband), n_words)
+            words, total, xprev, xrun, xcf = kern(
+                jnp.asarray(uns),
+                jnp.asarray(self.band_prev.astype(uns.dtype)),
+                jnp.asarray(self.band_runbits),
+                jnp.asarray(self.band_cf.astype(uns.dtype)))
+            state = (np.asarray(xprev), np.asarray(xrun), np.asarray(xcf))
+        else:
+            raise ValueError(f"unsupported mode {mode}")
+        from .ops.bitpack import words_to_bytes
+        return words_to_bytes(np.asarray(words), int(total)), state
+
+    def _commit_state(self, state):
+        xprev, xrun, xcf = state
+        self.band_prev = xprev.astype(np.uint64)
+        self.band_runbits = xrun.astype(np.int32)
+        if xcf is not None:
+            self.band_cf = xcf.astype(np.uint64)
+
+
+def encode(img: np.ndarray, mode: int = Mode.FTL, quanta: int = 1,
+           away: bool = False, coreband=None) -> bytes:
+    """One-shot convenience encoder for (H, W[, C]) arrays."""
+    if img.ndim == 2:
+        img = img[:, :, None]
+    h, w, c = img.shape
+    enc = Encoder(w, h, c, DT_FROM_NP[img.dtype])
+    enc.set_mode(mode)
+    if quanta != 1:
+        enc.set_quanta(quanta, away)
+    if coreband is not None:
+        enc.set_coreband(coreband)
+    return enc.encode(img)

@@ -1,0 +1,120 @@
+"""QB3 v2 container: main header + chunk headers (host side).
+
+Byte layout per doc/QB3.md:223-263 and QB3encode.cpp:194-268:
+
+  main header (11 bytes): "QB3\x80", xsize-1 (u16le), ysize-1 (u16le),
+      nbands-1 (u8), dtype (u8), mode (u8)
+  chunks, byte aligned, ended by the data chunk:
+      "CB" u16le(nbands) + nbands bytes      core-band mapping (if any)
+      "QV" u16le(n in 1..4) + n bytes        quantization value (if >= 2)
+      "SC" u16le(8) + u64le                  scan curve (if not legacy z-curve)
+      "DT"                                   start of entropy-coded payload
+  unknown chunks: skippable iff the first signature letter is lowercase
+  (QB3decode.cpp:251-259) — our optional block-length index uses "ix".
+"""
+
+from __future__ import annotations
+
+import struct
+from dataclasses import dataclass, field
+
+from .constants import HILBERT, ZCURVE, Mode
+
+
+def topbit_int(v: int) -> int:
+    return v.bit_length() - 1
+
+
+def write_headers(xsize: int, ysize: int, nbands: int, dtype: int, mode: int,
+                  cband, quanta: int, order: int) -> bytes:
+    out = bytearray()
+    out += b"QB3\x80"
+    out += struct.pack("<HHBBB", xsize - 1, ysize - 1, nbands - 1, dtype, mode & 0xFF)
+    if mode != Mode.STORED and any(cband[c] != c for c in range(nbands)):
+        out += b"CB" + struct.pack("<H", nbands) + bytes(cband[:nbands])
+    if quanta >= 2:
+        qbytes = 1 + topbit_int(quanta) // 8
+        out += b"QV" + struct.pack("<H", qbytes) + quanta.to_bytes(qbytes, "little")
+    if order != ZCURVE and mode != Mode.STORED:
+        out += b"SC" + struct.pack("<H", 8) + struct.pack("<Q", order or HILBERT)
+    out += b"DT"
+    return bytes(out)
+
+
+@dataclass
+class StreamInfo:
+    xsize: int
+    ysize: int
+    nbands: int
+    dtype: int
+    mode: int
+    quanta: int = 1
+    order: int = 0
+    cband: list = field(default_factory=list)
+    data_offset: int = 0  # byte offset of the DT payload
+    index: bytes | None = None  # optional "ix" block-length sidecar
+
+
+def parse_headers(stream: bytes) -> StreamInfo:
+    """3-stage reader collapsed to one host parse (QB3decode.cpp:130-264)."""
+    if len(stream) < 11 + 4 or stream[:4] != b"QB3\x80":
+        raise ValueError("not a QB3 stream")
+    xm, ym, bm, dt, mode = struct.unpack("<HHBBB", stream[4:11])
+    info = StreamInfo(xsize=xm + 1, ysize=ym + 1, nbands=bm + 1, dtype=dt, mode=mode)
+    if info.nbands > 256 or dt > 7:
+        raise ValueError("invalid header")
+    if mode >= Mode.END and mode != Mode.STORED:
+        raise ValueError("invalid mode")
+    if mode in (Mode.BASE_Z, Mode.CF, Mode.CF_RLE, Mode.RLE):
+        info.order = ZCURVE
+    info.cband = list(range(info.nbands))
+    pos = 11
+    index = bytearray()
+    while True:
+        if pos + 2 > len(stream):
+            raise ValueError("truncated headers")
+        sig = stream[pos : pos + 2]
+        if sig == b"DT":
+            info.data_offset = pos + 2
+            break
+        if pos + 4 > len(stream):
+            raise ValueError("truncated chunk")
+        (ln,) = struct.unpack("<H", stream[pos + 2 : pos + 4])
+        body = stream[pos + 4 : pos + 4 + ln]
+        if sig == b"QV":
+            if not 1 <= ln <= 4 or len(body) != ln:
+                raise ValueError("bad QV chunk")
+            info.quanta = int.from_bytes(body, "little")
+            if info.quanta < 2:
+                raise ValueError("bad quanta")
+        elif sig == b"CB":
+            if ln != info.nbands:
+                raise ValueError("bad CB chunk")
+            info.cband = list(body)
+            if any(c >= info.nbands for c in info.cband):
+                raise ValueError("bad core band")
+        elif sig == b"SC":
+            if ln != 8:
+                raise ValueError("bad SC chunk")
+            info.order = struct.unpack("<Q", body)[0]
+            if not _check_curve(info.order):
+                raise ValueError("bad curve")
+        elif sig == b"ix":
+            index += body  # our block-length sidecar (skippable extension)
+        elif sig[0] & 0x20:
+            pass  # unknown lowercase chunk: skip
+        else:
+            raise ValueError(f"unknown chunk {sig!r}")
+        pos += 4 + ln
+    if index:
+        info.index = bytes(index)
+    return info
+
+
+def _check_curve(val: int) -> bool:
+    """All 16 nibble values must be present (QB3decode.cpp:117-125)."""
+    mask = 0
+    for _ in range(16):
+        mask |= 1 << (val & 0xF)
+        val >>= 4
+    return mask == 0xFFFF
