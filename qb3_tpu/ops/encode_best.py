@@ -1,0 +1,350 @@
+"""Vectorized best-mode encoding (common-factor + index group trials).
+
+The reference encode_best (QB3encode.h:618-724) trial-encodes each group and
+rewinds the output stream when the index encoding is smaller — an inherently
+serial construction.  The TPU design computes the exact bit length of every
+candidate for all groups at once and *selects* per group, which produces the
+identical stream without ever materializing losing candidates:
+
+  * per group: plain / CF (cfgenc, QB3encode.h:284-361) / index
+    (ienc, QB3encode.h:557-613) code words and lengths;
+  * the per-band previous-CF chain (pcf) feeds back into the choice (the
+    same/different-CF flag changes the CF candidate's size, which changes
+    whether the index trial wins, which changes whether pcf updates).  The
+    key identity: a group's pcf transition is either *identity* (the index
+    encoding would win against a different-CF-sized candidate) or
+    *set-to-(cf-2)* (it would lose) — never a function of the incoming value.
+    The chain therefore collapses to a "last set wins" scan, fully parallel.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .. import tables as T
+from ..constants import B2, ubits_for
+from .bitutils import magsabs, magsdiv, topbit
+from .encode import (
+    _CSW_CODE,
+    _CSW_LEN,
+    delta_mags,
+    gather_blocks,
+    block_rungs,
+    value_codes,
+)
+
+_ENC_SINGLE_LEN = jnp.asarray(T.ENC_SINGLE[:, :, 0].astype(np.int32))
+_ENC_SINGLE_CODE = jnp.asarray(T.ENC_SINGLE[:, :, 1].astype(np.uint32))
+_IDX_LEN = jnp.asarray(T.IDX_ENC[:, 0].astype(np.int32))
+_IDX_CODE = jnp.asarray(T.IDX_ENC[:, 1].astype(np.uint32))
+_SIGNAL = T.SIGNAL  # host-side (ubits is static)
+
+_GCD_ITERS = {8: 14, 16: 26, 32: 48, 64: 94}
+
+
+def group_gcd(m):
+    """Greatest common factor of the mag-sign magnitudes of each group
+    (QB3encode.h:98-126).  m: (..., B2) -> (...) gcd (0 if all zero)."""
+    a = magsabs(m)
+    width = a.shape[-1]
+    iters = _GCD_ITERS[jnp.iinfo(m.dtype).bits]
+
+    def pair_gcd(x, y):
+        # gcd with gcd(x, 0) == x; fixed-iteration Euclid
+        def body(_, xy):
+            x, y = xy
+            safe = jnp.where(y == 0, jnp.ones_like(y), y)
+            return jnp.where(y == 0, x, y), jnp.where(y == 0, y, x % safe)
+
+        x, y = jax.lax.fori_loop(0, iters, body, (x, y))
+        return x
+
+    while width > 1:
+        half = width // 2
+        a = pair_gcd(a[..., :half], a[..., half : 2 * half])
+        width = half
+    return a[..., 0]
+
+
+def single_codes(v, rung):
+    """qb3csztbl: single-value encode at arbitrary rung (QB3encode.h:144-150).
+
+    v: uint64 values < 2^(rung+1); rung: int32 >= 0.  No 65-bit cases
+    (callers guarantee rung <= 62).  Returns (code u64, len i32).
+    """
+    tr = jnp.clip(rung, 0, 7)
+    tv = jnp.clip(v, 0, 255).astype(jnp.int32)
+    tl = _ENC_SINGLE_LEN[tr, tv]
+    tc = _ENC_SINGLE_CODE[tr, tv].astype(jnp.uint64)
+    r64 = jnp.clip(rung, 2, None).astype(jnp.uint64)
+    nxt = (v >> (r64 - 1)) & 1
+    top = v >> r64
+    tb = jnp.uint64(1) << r64
+    cl = rung + (top + (top | nxt)).astype(jnp.int32)
+    cc = jnp.where(top == 1, ((v ^ tb) << 2) | 3,
+                   jnp.where(nxt == 1, (((v << 1) ^ tb) << 1) | 1, v << 1))
+    use_tbl = rung <= 7
+    return jnp.where(use_tbl, tc, cc), jnp.where(use_tbl, tl, cl)
+
+
+def _flagless(code, ln):
+    """Drop the codeswitch change flag (cfgenc/ienc emit it separately or not
+    at all, QB3encode.h:300-305, :581-592)."""
+    return code >> jnp.uint64(1), ln - 1
+
+
+def _cs_or_signal(ubits, idxs):
+    """Codeswitch for a rung delta; the len-1 no-change form is replaced by
+    the SIGNAL long form (QB3encode.h:301-303)."""
+    ln = _CSW_LEN[ubits, idxs]
+    code = _CSW_CODE[ubits, idxs].astype(jnp.uint64)
+    sig_len, sig_code = int(_SIGNAL[ubits, 0]), int(_SIGNAL[ubits, 1])
+    use_sig = ln == 1
+    return (jnp.where(use_sig, jnp.uint64(sig_code), code),
+            jnp.where(use_sig, sig_len, ln))
+
+
+def index_candidate(m, rung, oldrung, ubits: int):
+    """ienc: the index group encoding (QB3encode.h:557-613).
+
+    m: (nb, C, B2) original mag-sign values; returns
+    (prefix_code, prefix_len, idx_codes, idx_lens, uniq_codes, uniq_lens,
+     total_len, valid).
+    """
+    nmask = (1 << ubits) - 1
+    m64 = m.astype(jnp.uint64)
+    # uniques in first-occurrence order
+    eq = m64[..., :, None] == m64[..., None, :]  # (nb, C, 16, 16)
+    first_occ = jnp.argmax(eq, axis=-1)  # first j with g[j] == g[i]
+    lane = jnp.arange(B2, dtype=first_occ.dtype)
+    is_first = first_occ == lane
+    nuniq = jnp.sum(is_first, axis=-1)  # (nb, C)
+    valid = nuniq <= B2 // 2
+    rank = jnp.cumsum(is_first, axis=-1) - 1  # rank of first occurrence
+    uid = jnp.take_along_axis(rank, first_occ, axis=-1)  # (nb, C, 16) in 0..15
+    uid8 = jnp.clip(uid, 0, B2 // 2 - 1)  # safe when invalid
+    # counts and first-seen position per unique slot
+    onehot = (uid8[..., None] == jnp.arange(B2 // 2)[None, None, None, :])
+    counts = jnp.sum(onehot, axis=-2)  # (nb, C, 8)
+    slot_live = jnp.arange(B2 // 2)[None, None, :] < jnp.minimum(nuniq, B2 // 2)[..., None]
+    # stable sort by descending count (ties keep first-seen order,
+    # QB3encode.h:546-554): key = -count, argsort is stable
+    order = jnp.argsort(jnp.where(slot_live, -counts, 99), axis=-1, stable=True)
+    # position of each unique slot in the sorted order (inverse permutation)
+    inv = jnp.argsort(order, axis=-1, stable=True)
+    final_idx = jnp.take_along_axis(inv, uid8, axis=-1)  # (nb, C, 16) in 0..7
+    idx_codes = _IDX_CODE[final_idx].astype(jnp.uint64)
+    idx_lens = _IDX_LEN[final_idx]
+    # unique values ordered by frequency
+    uniq_vals_slot = jnp.sum(jnp.where(is_first, m64, 0)[..., None] *
+                             (rank[..., None] == jnp.arange(B2 // 2)[None, None, None, :]),
+                             axis=-2)  # value of unique slot u (first-seen order)
+    uniq_sorted = jnp.take_along_axis(uniq_vals_slot, order, axis=-1)
+    uc, ul = single_codes(uniq_sorted, rung[..., None])
+    live_sorted = jnp.take_along_axis(slot_live, order, axis=-1)
+    ul = jnp.where(live_sorted, ul, 0)
+    uc = jnp.where(live_sorted, uc, 0)
+    # prefix: SIGNAL + flagless cs(max-oldrung) + flagless cs(rung-oldrung)
+    sig_len, sig_code = int(_SIGNAL[ubits, 0]), int(_SIGNAL[ubits, 1])
+    c1, l1 = _cs_or_signal(ubits, (nmask - oldrung) & nmask)
+    c1, l1 = _flagless(c1, l1)
+    c2, l2 = _cs_or_signal(ubits, (rung - oldrung) & nmask)
+    c2, l2 = _flagless(c2, l2)
+    pcode = jnp.uint64(sig_code) | (c1 << sig_len) | (c2 << (sig_len + l1).astype(jnp.uint64))
+    plen = sig_len + l1 + l2
+    total = plen + jnp.sum(idx_lens, axis=-1) + jnp.sum(ul, axis=-1)
+    return pcode, plen, idx_codes, idx_lens, uc, ul, total, valid
+
+
+def cf_candidate(m, rung, oldrung, ubits: int):
+    """cfgenc components for both the same-CF and different-CF variants
+    (QB3encode.h:284-361).
+
+    Returns a dict of code/len tensors; selection happens after the pcf scan.
+    """
+    nmask = (1 << ubits) - 1
+    cf = group_gcd(m)  # (nb, C) unsigned
+    has_cf = cf >= 2
+    cf_safe = jnp.where(has_cf, cf, jnp.full_like(cf, 2))
+    div = magsdiv(m, cf_safe[..., None])  # divided group
+    bitsused = div[..., 0]
+    for i in range(1, B2):
+        bitsused = bitsused | div[..., i]
+    trung = topbit(bitsused | jnp.ones_like(bitsused))  # <= 62 when cf >= 2
+    cfm = (cf_safe - 2).astype(jnp.uint64)  # biased CF
+    cfrung = topbit(cfm | jnp.uint64(1))
+
+    sig_len, sig_code = int(_SIGNAL[ubits, 0]), int(_SIGNAL[ubits, 1])
+    cst_c, cst_l = _cs_or_signal(ubits, (trung - oldrung) & nmask)
+    cst_c, cst_l = _flagless(cst_c, cst_l)
+    # header base: SIGNAL + flagless rung switch
+    base_code = jnp.uint64(sig_code) | (cst_c << sig_len)
+    base_len = sig_len + cst_l
+
+    at_trung = (trung >= cfrung) & ((trung < cfrung + ubits) | (cfrung == 0))
+    trung0 = trung == 0
+
+    # diff-CF, cf at trung: flags '1','0' then cf code (or 1 bit when trung==0)
+    cfc_at, cfl_at = single_codes(cfm, trung)
+    cfc_at = jnp.where(trung0, cfm & 1, cfc_at)
+    cfl_at = jnp.where(trung0, 1, cfl_at)
+    # diff-CF, own rung: flag '1' + full csw(cfrung-trung) + cf at cfrung-1
+    csw_idx = (cfrung - trung) & nmask
+    own_c = _CSW_CODE[ubits, csw_idx].astype(jnp.uint64)
+    own_l = _CSW_LEN[ubits, csw_idx]
+    cfc_own, cfl_own = single_codes(cfm ^ (jnp.uint64(1) << cfrung.astype(jnp.uint64)),
+                                    cfrung - 1)
+
+    # body: divided group at trung (with step), or 16 single bits when trung==0
+    dc, dl, _, _ = value_codes(div, trung, skipstep=False)
+    dc = jnp.where(trung0[..., None], div.astype(jnp.uint64) & 1, dc)
+    dl = jnp.where(trung0[..., None], 1, dl)
+    body_len = jnp.sum(dl, axis=-1)
+
+    # P1 assembly per variant: flags are emitted right after the header base
+    one = jnp.uint64(1)
+    # same: '0' flag
+    p1_same = base_code
+    l1_same = base_len + 1
+    # diff at trung: '1' then '0'
+    p1_at = base_code | (one << base_len.astype(jnp.uint64))
+    l1_at = base_len + 2
+    # diff own rung: '1' only (the csw change bit supplies the second flag)
+    p1_diff_own = base_code | (one << base_len.astype(jnp.uint64))
+    l1_diff_own = base_len + 1
+
+    p1_diff = jnp.where(at_trung, p1_at, p1_diff_own)
+    l1_diff = jnp.where(at_trung, l1_at, l1_diff_own)
+    s1_code_diff = jnp.where(at_trung, jnp.uint64(0), own_c)
+    s1_len_diff = jnp.where(at_trung, 0, own_l)
+    s2_code_diff = jnp.where(at_trung, cfc_at, cfc_own)
+    s2_len_diff = jnp.where(at_trung, cfl_at, cfl_own)
+
+    size_same = l1_same + body_len
+    size_diff = l1_diff + s1_len_diff + s2_len_diff + body_len
+
+    return dict(
+        cf=cf, has_cf=has_cf, cfm=cfm, trung=trung,
+        p1_same=p1_same, l1_same=l1_same,
+        p1_diff=p1_diff, l1_diff=l1_diff,
+        s1_code_diff=s1_code_diff, s1_len_diff=s1_len_diff,
+        s2_code_diff=s2_code_diff, s2_len_diff=s2_len_diff,
+        body_codes=dc, body_lens=dl,
+        size_same=size_same, size_diff=size_diff,
+    )
+
+
+def pcf_scan(is_set, set_val, entry_cf):
+    """Per-band 'last set wins' scan over blocks (axis 0).
+
+    is_set: (nb, C) bool; set_val: (nb, C) uint; entry_cf: (C,).
+    Returns pcf_in per block and the exit state.
+    """
+    nb = is_set.shape[0]
+    idx = jnp.where(is_set, jnp.arange(nb, dtype=jnp.int32)[:, None], -1)
+    last_incl = jax.lax.cummax(idx, axis=0)
+    last_excl = jnp.concatenate(
+        [jnp.full_like(last_incl[:1], -1), last_incl[:-1]], axis=0)
+    gathered = jnp.take_along_axis(set_val, jnp.clip(last_excl, 0, None), axis=0)
+    pcf_in = jnp.where(last_excl >= 0, gathered, entry_cf[None, :])
+    gathered_end = jnp.take_along_axis(set_val, jnp.clip(last_incl[-1:], 0, None), axis=0)[0]
+    exit_cf = jnp.where(last_incl[-1] >= 0, gathered_end, entry_cf)
+    return pcf_in, exit_cf
+
+
+def encode_best_blocks(img, entry_prev, entry_runbits, entry_cf, order: int,
+                       cband: tuple[int, ...]):
+    """Phase A for the best encoder.  Returns flattened (codes, lens) in
+    stream order plus exit band state."""
+    ubits = ubits_for(img.dtype.itemsize)
+    nmask = (1 << ubits) - 1
+    tbits = jnp.iinfo(img.dtype).bits
+    vals = gather_blocks(img, order, cband)
+    m, exit_prev = delta_mags(vals, entry_prev)
+    bitsused, rung, oldrung, exit_runbits = block_rungs(m, entry_runbits)
+    rung0 = bitsused <= 1
+    active = ~rung0
+
+    # ---- candidates
+    plain_codes, plain_lens, plain_eb, plain_el = value_codes(m, rung, skipstep=False)
+    cs_idx = (rung - oldrung) & nmask
+    cs_len = _CSW_LEN[ubits, cs_idx]
+    cs_code = _CSW_CODE[ubits, cs_idx].astype(jnp.uint64)
+    plain_size = cs_len + jnp.sum(plain_lens + plain_el, axis=-1)
+
+    cfd = cf_candidate(m, rung, oldrung, ubits)
+    (ipc, ipl, icodes, ilens, ucodes, ulens, isize, ivalid) = index_candidate(
+        m, rung, oldrung, ubits)
+
+    # ---- index-trial gating (QB3encode.h:700-713)
+    thr = 36 + 3 * ubits + 2 * rung
+    idx_range = active & (rung > 3) & (rung < 63) & ivalid
+    base_same = jnp.where(cfd["has_cf"], cfd["size_same"], plain_size)
+    base_diff = jnp.where(cfd["has_cf"], cfd["size_diff"], plain_size)
+    win_same = idx_range & (base_same >= thr) & (isize < base_same)
+    win_diff = idx_range & (base_diff >= thr) & (isize < base_diff)
+
+    # ---- pcf chain: transition is identity iff the index trial would win
+    # against the different-CF candidate; otherwise set to cf-2
+    is_set = active & cfd["has_cf"] & ~win_diff
+    pcf_in, exit_cf = pcf_scan(is_set, cfd["cfm"], entry_cf.astype(jnp.uint64))
+    same = pcf_in == cfd["cfm"]
+
+    use_cf = active & cfd["has_cf"]
+    base_size = jnp.where(use_cf, jnp.where(same, cfd["size_same"], cfd["size_diff"]),
+                          plain_size)
+    win = jnp.where(same, win_same, win_diff)
+
+    # ---- final symbol selection
+    # S0 prefix
+    flag = (bitsused & 1).astype(jnp.uint64)
+    p_rung0 = cs_code | (flag << cs_len.astype(jnp.uint64))
+    l_rung0 = cs_len + 1
+    cf_p1 = jnp.where(same, cfd["p1_same"], cfd["p1_diff"])
+    cf_l1 = jnp.where(same, cfd["l1_same"], cfd["l1_diff"])
+    s0_code = jnp.where(rung0, p_rung0,
+              jnp.where(win, ipc,
+              jnp.where(use_cf, cf_p1, cs_code)))
+    s0_len = jnp.where(rung0, l_rung0,
+             jnp.where(win, ipl,
+             jnp.where(use_cf, cf_l1, cs_len)))
+    # S1/S2: only for diff-CF
+    diff_cf = use_cf & ~same & ~win
+    s1_code = jnp.where(diff_cf, cfd["s1_code_diff"], jnp.uint64(0))
+    s1_len = jnp.where(diff_cf, cfd["s1_len_diff"], 0)
+    s2_code = jnp.where(diff_cf, cfd["s2_code_diff"], jnp.uint64(0))
+    s2_len = jnp.where(diff_cf, cfd["s2_len_diff"], 0)
+    # V0..15
+    r0b = rung0[..., None]
+    winb = win[..., None]
+    cfb = use_cf[..., None]
+    v_code = jnp.where(r0b, m.astype(jnp.uint64) & 1,
+             jnp.where(winb, icodes,
+             jnp.where(cfb, cfd["body_codes"], plain_codes)))
+    v_len = jnp.where(r0b, jnp.where((bitsused == 1)[..., None], 1, 0),
+            jnp.where(winb, ilens,
+            jnp.where(cfb, cfd["body_lens"], plain_lens)))
+    # extras (u64 rung-63 overflow): only the plain path can produce them
+    e_code = jnp.where(r0b | winb | cfb, jnp.uint64(0), plain_eb.astype(jnp.uint64))
+    e_len = jnp.where(r0b | winb | cfb, 0, plain_el)
+    # U0..7 unique values: only when the index encoding wins
+    u_code = jnp.where(winb, ucodes, jnp.uint64(0))[..., : B2 // 2]
+    u_len = jnp.where(winb, ulens, 0)[..., : B2 // 2]
+
+    parts_c = [s0_code[..., None], s1_code[..., None], s2_code[..., None]]
+    parts_l = [s0_len[..., None], s1_len[..., None], s2_len[..., None]]
+    if int(tbits) == 64:
+        vi = jnp.stack([v_code, e_code], axis=-1).reshape(*v_code.shape[:-1], 2 * B2)
+        li = jnp.stack([v_len, e_len], axis=-1).reshape(*v_len.shape[:-1], 2 * B2)
+        parts_c.append(vi)
+        parts_l.append(li)
+    else:
+        parts_c.append(v_code)
+        parts_l.append(v_len)
+    parts_c.append(u_code)
+    parts_l.append(u_len)
+    codes = jnp.concatenate(parts_c, axis=-1)
+    lens = jnp.concatenate(parts_l, axis=-1)
+    return codes.reshape(-1), lens.reshape(-1), exit_prev, exit_runbits, exit_cf
