@@ -10,6 +10,6 @@ import jax as _jax
 _jax.config.update("jax_enable_x64", True)
 
 from .constants import B, B2, HILBERT, ZCURVE, DType, Error, Mode  # noqa: E402,F401
-from .api import Encoder, encode, max_encoded_size  # noqa: E402,F401
+from .api import Decoder, Encoder, decode, encode, max_encoded_size  # noqa: E402,F401
 
 __version__ = "0.1.0"

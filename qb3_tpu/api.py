@@ -329,6 +329,121 @@ class Encoder:
             self.band_cf = xcf.astype(np.uint64)
 
 
+# ------------------------------------------------------------------- decoder
+
+@functools.lru_cache(maxsize=64)
+def _decode_kernel(nblocks, nbands, h, w, order, cband, apply_step, npdtype, n_words):
+    from .ops.decode import decode_groups, reconstruct
+
+    out_dtype = np.dtype(npdtype)
+
+    def run(words64, kind, val_pos, vrung, cf, entry_prev):
+        g, _ = decode_groups(words64, kind, val_pos, vrung, cf, apply_step)
+        g = g.reshape(nblocks, nbands, B2)
+        img, exit_prev = reconstruct(g, entry_prev, h, w, nbands, order, cband, out_dtype)
+        return img, exit_prev
+
+    return jax.jit(run)
+
+
+class Decoder:
+    """Mirror of the 3-stage decsp reader (QB3decode.cpp:130-264)."""
+
+    def __init__(self, stream: bytes):
+        self.stream = stream
+        self.info = container.parse_headers(stream)  # read_start + read_info
+        self.stride = 0
+
+    @property
+    def image_size(self):
+        return self.info.xsize, self.info.ysize, self.info.nbands
+
+    def decoded_size(self) -> int:
+        i = self.info
+        return i.xsize * i.ysize * i.nbands * TYPESIZES[i.dtype]
+
+    def set_stride(self, stride: int):
+        self.stride = stride
+
+    def read_data(self) -> np.ndarray:
+        """qb3_read_data -> (H, W, C) array in the stream's dtype."""
+        info = self.info
+        np_dt = NP_FROM_DT[DType(info.dtype)]
+        uns_dt = UNSIGNED[np.dtype(np_dt).itemsize]
+        data = self.stream[info.data_offset:]
+        h, w, nb = info.ysize, info.xsize, info.nbands
+
+        if info.mode == Mode.STORED:
+            if len(data) != self.decoded_size():
+                raise ValueError("stored payload size mismatch")
+            out = np.frombuffer(data, dtype=np_dt).reshape(h, w, nb).copy()
+            return self._finish(out)
+
+        if h * w < B2:
+            raise ValueError("tiny images must be stored")
+
+        if needs_rle(info.mode):
+            expected = rle.rle0_decoded_size(data)
+            if expected > self.decoded_size():
+                raise ValueError("RLE expansion exceeds image size")
+            data = rle.rle0_decode(data, expected)
+
+        dh, dw = h, w
+        if w < B or h < B:
+            ngroups = (h * w + B2 - 1) // B2
+            dw, dh = (B, ngroups * B) if w < B else (ngroups * B, B)
+
+        uns = self._decode_core(data, dh, dw, nb, uns_dt)
+        if (dh, dw) != (h, w):
+            uns = unpack_small(uns, h, w, nb)
+        out = uns.view(np_dt)
+        if info.quanta > 1:
+            out = dequantize(out, info.quanta)
+        return self._finish(out)
+
+    def _decode_core(self, data: bytes, h: int, w: int, nb: int, uns_dt) -> np.ndarray:
+        from .offsets import parse_offsets
+        from .ops.decode import payload_words
+
+        info = self.info
+        order = info.order or HILBERT
+        nby = (h + B - 1) // B
+        nbx = (w + B - 1) // B
+        nblocks = nby * nbx
+        meta = parse_offsets(data, nblocks, nb, np.dtype(uns_dt).itemsize, info.mode)
+        words = payload_words(data)
+        n_words = 1 << max(4, int(np.ceil(np.log2(len(words)))))
+        wpad = np.zeros(n_words, np.uint64)
+        wpad[: len(words)] = words
+        kern = _decode_kernel(nblocks, nb, h, w, order, tuple(info.cband),
+                              info.mode != Mode.FTL, np.dtype(uns_dt).name, n_words)
+        img, _ = kern(
+            jnp.asarray(wpad),
+            jnp.asarray(meta["kind"].reshape(-1)),
+            jnp.asarray(meta["val_pos"].reshape(-1)),
+            jnp.asarray(meta["vrung"].reshape(-1)),
+            jnp.asarray(meta["cf"].reshape(-1)),
+            jnp.zeros(nb, dtype=jnp.uint64),
+        )
+        return np.asarray(img)
+
+    def _finish(self, out: np.ndarray) -> np.ndarray:
+        if self.stride:
+            h, w, nb = out.shape
+            buf = np.zeros((h * self.stride,), dtype=out.dtype)
+            line = w * nb
+            for y in range(h):
+                buf[y * self.stride : y * self.stride + line] = out[y].reshape(-1)
+            return buf
+        return out
+
+
+def decode(stream: bytes):
+    """One-shot decode -> (array (H, W, C), StreamInfo)."""
+    dec = Decoder(stream)
+    return dec.read_data(), dec.info
+
+
 def encode(img: np.ndarray, mode: int = Mode.FTL, quanta: int = 1,
            away: bool = False, coreband=None) -> bytes:
     """One-shot convenience encoder for (H, W[, C]) arrays."""

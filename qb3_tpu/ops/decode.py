@@ -1,0 +1,172 @@
+"""Parallel value decoding + image reconstruction.
+
+Given per-group metadata from offset recovery (offsets.py or the "ix"
+sidecar), all groups decode simultaneously: the only remaining dependency is
+*within* a group (value i's position depends on lengths of values 0..i-1),
+which unrolls into 16 wavefront steps, each a fully vectorized gather+table
+step across every group of the image.  The per-band prefix-sum un-delta
+(QB3decode.h:717-722) becomes one cumulative sum over the scan sequence, and
+the band-delta add pass (QB3decode.h:729-737) one vectorized add.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .. import tables as T
+from ..constants import B, B2, curve_offsets
+from ..offsets import KIND_BITS, KIND_CF, KIND_CF0, KIND_IDX, KIND_NORMAL, KIND_ZERO
+from .bitutils import magsmul, peek64, smag, step_flip_index, topbit
+from .encode import block_origins
+
+_DEC_GROUP_LEN = jnp.asarray(T.DEC_GROUP[:, :, 0].astype(np.int32))
+_DEC_GROUP_VAL = jnp.asarray(T.DEC_GROUP[:, :, 1].astype(np.uint32))
+_DEC_SINGLE_LEN = jnp.asarray(T.DEC_SINGLE[:, :, 0].astype(np.int32))
+_DEC_SINGLE_VAL = jnp.asarray(T.DEC_SINGLE[:, :, 1].astype(np.uint32))
+_IDX_DEC_LEN = jnp.asarray(T.IDX_DEC[:16, 0].astype(np.int32))
+_IDX_DEC_VAL = jnp.asarray(T.IDX_DEC[:16, 1].astype(np.uint32))
+
+
+def payload_words(payload: bytes) -> np.ndarray:
+    """Payload bytes -> little-endian uint64 words with a spill word."""
+    n = (len(payload) + 7) // 8 + 1
+    buf = np.zeros(n * 8, dtype=np.uint8)
+    buf[: len(payload)] = np.frombuffer(payload, np.uint8)
+    return buf.view("<u8")
+
+
+def _dec_value(w, rung, use_single):
+    """Branchless single-value decode at arbitrary rung -> (val u64, len).
+
+    use_single selects the unswapped tables (CF values / uniques); otherwise
+    the group-context tables apply.  Handles computed rungs >= 8 including
+    the rung-63 65-bit form (caller adds the extra bit).
+    """
+    tr = jnp.clip(rung, 0, 7)
+    ti = (w & ((jnp.uint64(1) << (tr + 2).astype(jnp.uint64)) - 1)).astype(jnp.int32)
+    tl = jnp.where(use_single, _DEC_SINGLE_LEN[tr, ti], _DEC_GROUP_LEN[tr, ti])
+    tv = jnp.where(use_single, _DEC_SINGLE_VAL[tr, ti], _DEC_GROUP_VAL[tr, ti]).astype(jnp.uint64)
+    # computed path (QB3decode.h:119-129)
+    r64 = jnp.clip(rung, 2, None).astype(jnp.uint64)
+    rbit = jnp.uint64(1) << r64
+    short = (w & 1) == 0
+    n = (w >> 1) & 1
+    v2 = (w >> 2) & (rbit - 1)
+    cl = jnp.where(short, rung, rung + 1 + n.astype(jnp.int32))
+    cv = jnp.where(short, (w & (rbit - 1)) >> 1,
+                   jnp.where(n == 0, v2 | (rbit >> 1), v2 | rbit))
+    tbl = rung <= 7
+    return jnp.where(tbl, tv, cv), jnp.where(tbl, tl, cl)
+
+
+def decode_groups(words64, kind, val_pos, vrung, cf, apply_step: bool):
+    """Wavefront decode of all groups -> mag-sign values (n, B2) uint64.
+
+    words64: stream; kind/val_pos/vrung/cf: flat (n,) metadata arrays.
+    """
+    n = kind.shape[0]
+    pos = val_pos.astype(jnp.int64)
+    is_zero = kind == KIND_ZERO
+    is_bits = kind == KIND_BITS
+    is_cf0 = kind == KIND_CF0
+    is_idx = kind == KIND_IDX
+    is_group = (kind == KIND_NORMAL) | (kind == KIND_CF)
+    onebit = is_bits | is_cf0
+
+    vals = []
+    for i in range(B2):
+        w = peek64(words64, pos)
+        gv, gl = _dec_value(w, vrung, jnp.zeros_like(is_zero))
+        # rung-63 long form: 65 bits, the 65th is bit 62 of the value (which
+        # is always 0 in the 64-bit part).  NB: the equivalent
+        # `(gv & ~(1<<62)) | (extra << 62)` miscompiles under XLA:CPU
+        # vectorization (jit != eager); keep the plain OR form.
+        ovf = is_group & (gl == 65)
+        extra = peek64(words64, pos + 64) & 1
+        gv = gv | jnp.where(ovf, extra << 62, jnp.uint64(0))
+        il, iv = _IDX_DEC_LEN[(w & 15).astype(jnp.int32)], _IDX_DEC_VAL[(w & 15).astype(jnp.int32)]
+        v = jnp.where(is_group, gv,
+            jnp.where(is_idx, iv.astype(jnp.uint64),
+            jnp.where(onebit, w & 1, jnp.uint64(0))))
+        ln = jnp.where(is_group, gl,
+             jnp.where(is_idx, il,
+             jnp.where(onebit, 1, 0)))
+        vals.append(v)
+        pos = pos + ln
+    g = jnp.stack(vals, axis=-1)  # (n, B2)
+
+    # index groups: decode up to 8 uniques at the running position
+    maxidx = jnp.max(jnp.where(is_idx[:, None], g, 0), axis=-1).astype(jnp.int32)
+    uniqs = []
+    for u in range(B2 // 2):
+        live = is_idx & (u <= maxidx)
+        w = peek64(words64, pos)
+        uv, ul = _dec_value(w, vrung, jnp.ones_like(is_zero))
+        uniqs.append(jnp.where(live, uv, 0))
+        pos = pos + jnp.where(live, ul, 0)
+    uq = jnp.stack(uniqs, axis=-1)  # (n, 8)
+    gi = jnp.take_along_axis(uq, jnp.clip(g, 0, 7).astype(jnp.int32), axis=-1)
+    g = jnp.where(is_idx[:, None], gi, g)
+
+    # step restore for group-coded kinds (QB3decode.h:285-289): CF groups
+    # always, normal groups unless FTL
+    restore = (kind == KIND_CF) if not apply_step else is_group
+    match, ones = step_flip_index(g, vrung)
+    lane = jnp.arange(B2, dtype=jnp.int32)
+    do = restore & match & (vrung >= 1)
+    flip = do[:, None] & (lane[None, :] == ones[:, None]) & (ones[:, None] < B2)
+    g = g ^ (jnp.where(flip, 1, 0).astype(jnp.uint64) << vrung[:, None].astype(jnp.uint64))
+
+    # CF groups: multiply back; CF0: value is mags(-cf) per set bit
+    cfv = cf.astype(jnp.uint64)
+    g = jnp.where((kind == KIND_CF)[:, None], magsmul(g, cfv[:, None]), g)
+    neg = ((cfv - 1) << 1) | 1
+    g = jnp.where(is_cf0[:, None], jnp.where(g != 0, neg[:, None], 0), g)
+    # BITS groups: value bits decode as 0/1 mag-sign directly
+    return g, pos
+
+
+def reconstruct(groups, entry_prev, h: int, w: int, nbands: int, order: int,
+                cband: tuple[int, ...], out_dtype):
+    """Mag-sign groups (nblocks, C, B2) -> (H, W, C) image.
+
+    Prefix-sum un-delta in scan order, inverse scan gather (later blocks win
+    on the overlapped edge pixels, matching the serial write order), then the
+    band-delta add pass.
+    """
+    tbits = np.iinfo(out_dtype).bits
+    nblocks = groups.shape[0]
+    seq = smag(groups).transpose(1, 0, 2).reshape(nbands, nblocks * B2)
+    if tbits < 64:
+        seq = seq & jnp.uint64((1 << tbits) - 1)
+    csum = jnp.cumsum(seq, axis=1) + entry_prev[:, None].astype(jnp.uint64)
+    vals = csum.reshape(nbands, nblocks, B2).astype(out_dtype)  # truncates mod 2^bits
+    exit_prev = csum[:, -1]
+
+    ys = block_origins(h)
+    xs = block_origins(w)
+    nby, nbx = len(ys), len(xs)
+    offs = curve_offsets(order)
+    lane_of = np.zeros((B, B), dtype=np.int32)
+    for i, (dy, dx) in enumerate(offs):
+        lane_of[dy, dx] = i
+    # pixel -> providing block (the last block in scan order wins on overlap)
+    py = np.arange(h)
+    px = np.arange(w)
+    by = np.minimum(py // B, nby - 1)
+    by = np.where(py >= ys[-1], nby - 1, by)
+    bx = np.minimum(px // B, nbx - 1)
+    bx = np.where(px >= xs[-1], nbx - 1, bx)
+    lane = lane_of[(py[:, None] - ys[by][:, None]), (px[None, :] - xs[bx][None, :])]
+    bidx = by[:, None] * nbx + bx[None, :]  # (h, w)
+
+    img = vals[:, bidx, lane]  # (C, H, W)
+    img = jnp.transpose(img, (1, 2, 0))
+    # band-delta add pass (QB3decode.h:729-737)
+    cb = np.asarray(cband, dtype=np.int32)
+    add = cb != np.arange(nbands)
+    core = img[:, :, cb]
+    img = img + core * jnp.asarray(add.astype(out_dtype))[None, None, :]
+    return img, exit_prev
