@@ -145,28 +145,32 @@ def unpack_small(img: np.ndarray, h: int, w: int, nb: int) -> np.ndarray:
 
 @functools.lru_cache(maxsize=64)
 def _fast_kernel(shape, npdtype, order, cband, skipstep, n_words):
-    from .ops.bitpack import pack_symbols
+    from .ops.bitpack import group_bits_bound, pack_groups
     from .ops.encode import encode_fast_blocks
+
+    maxbits = group_bits_bound(np.dtype(npdtype).itemsize * 8, best=False)
 
     def run(img, entry_prev, entry_runbits):
         codes, lens, exit_prev, exit_runbits = encode_fast_blocks(
             img, entry_prev, entry_runbits, order, cband, skipstep)
-        words, total = pack_symbols(codes, lens, n_words)
-        return words, total, exit_prev, exit_runbits
+        words, total, glen = pack_groups(codes, lens, n_words, maxbits)
+        return words, total, exit_prev, exit_runbits, glen
 
     return jax.jit(run)
 
 
 @functools.lru_cache(maxsize=64)
 def _best_kernel(shape, npdtype, order, cband, n_words):
-    from .ops.bitpack import pack_symbols
+    from .ops.bitpack import group_bits_bound, pack_groups
     from .ops.encode_best import encode_best_blocks
+
+    maxbits = group_bits_bound(np.dtype(npdtype).itemsize * 8, best=True)
 
     def run(img, entry_prev, entry_runbits, entry_cf):
         codes, lens, exit_prev, exit_runbits, exit_cf = encode_best_blocks(
             img, entry_prev, entry_runbits, entry_cf, order, cband)
-        words, total = pack_symbols(codes, lens, n_words)
-        return words, total, exit_prev, exit_runbits, exit_cf
+        words, total, glen = pack_groups(codes, lens, n_words, maxbits)
+        return words, total, exit_prev, exit_runbits, exit_cf, glen
 
     return jax.jit(run)
 
@@ -189,6 +193,8 @@ class Encoder:
         self.stride = 0
         self.cband = default_cband(bands)
         self.error = Error.OK
+        self.with_index = False  # emit the "ix" block-length sidecar chunk
+        self._last_glens = None
         self.reset()
 
     def reset(self):
@@ -269,11 +275,11 @@ class Encoder:
         if self.xsize < B or self.ysize < B:
             uns = repack_small(uns)
 
+        payload, state = self._encode_payload(uns, mode)
+        index = self._last_glens.astype("<u2").tobytes() if self.with_index else None
         header = container.write_headers(
             self.xsize, self.ysize, self.nbands, self.dtype, mode,
-            self.cband, self.quanta, self.order)
-
-        payload, state = self._encode_payload(uns, mode)
+            self.cband, self.quanta, self.order, index)
         result = header + payload
 
         if needs_rle(user_mode):
@@ -284,7 +290,7 @@ class Encoder:
                         len(packed) <= self.max_encoded_size() - len(result):
                     header2 = container.write_headers(
                         self.xsize, self.ysize, self.nbands, self.dtype, user_mode,
-                        self.cband, self.quanta, self.order)
+                        self.cband, self.quanta, self.order, index)
                     self._commit_state(state)
                     return header2 + packed
             self._commit_state(state)
@@ -302,7 +308,7 @@ class Encoder:
         if is_fast_mode(mode):
             kern = _fast_kernel((h, w, nb), uns.dtype.name, order,
                                 tuple(self.cband), mode == Mode.FTL, n_words)
-            words, total, xprev, xrun = kern(
+            words, total, xprev, xrun, glen = kern(
                 jnp.asarray(uns),
                 jnp.asarray(self.band_prev.astype(uns.dtype)),
                 jnp.asarray(self.band_runbits))
@@ -310,7 +316,7 @@ class Encoder:
         elif is_best_mode(mode):
             kern = _best_kernel((h, w, nb), uns.dtype.name, order,
                                 tuple(self.cband), n_words)
-            words, total, xprev, xrun, xcf = kern(
+            words, total, xprev, xrun, xcf, glen = kern(
                 jnp.asarray(uns),
                 jnp.asarray(self.band_prev.astype(uns.dtype)),
                 jnp.asarray(self.band_runbits),
@@ -319,6 +325,7 @@ class Encoder:
         else:
             raise ValueError(f"unsupported mode {mode}")
         from .ops.bitpack import words_to_bytes
+        self._last_glens = np.asarray(glen)
         return words_to_bytes(np.asarray(words), int(total)), state
 
     def _commit_state(self, state):
@@ -330,6 +337,24 @@ class Encoder:
 
 
 # ------------------------------------------------------------------- decoder
+
+@functools.lru_cache(maxsize=64)
+def _decode_kernel_indexed(nblocks, nbands, h, w, order, cband, apply_step, npdtype, n_words):
+    from .constants import ubits_for
+    from .ops.decode import decode_groups, indexed_meta, reconstruct
+
+    out_dtype = np.dtype(npdtype)
+    ubits = ubits_for(out_dtype.itemsize)
+
+    def run(words64, glens, entry_prev):
+        kind, val_pos, vrung, cf = indexed_meta(words64, glens, nblocks, nbands, ubits)
+        g, _ = decode_groups(words64, kind, val_pos, vrung, cf, apply_step)
+        g = g.reshape(nblocks, nbands, B2)
+        img, exit_prev = reconstruct(g, entry_prev, h, w, nbands, order, cband, out_dtype)
+        return img, exit_prev
+
+    return jax.jit(run)
+
 
 @functools.lru_cache(maxsize=64)
 def _decode_kernel(nblocks, nbands, h, w, order, cband, apply_step, npdtype, n_words):
@@ -410,11 +435,25 @@ class Decoder:
         nby = (h + B - 1) // B
         nbx = (w + B - 1) // B
         nblocks = nby * nbx
-        meta = parse_offsets(data, nblocks, nb, np.dtype(uns_dt).itemsize, info.mode)
         words = payload_words(data)
         n_words = 1 << max(4, int(np.ceil(np.log2(len(words)))))
         wpad = np.zeros(n_words, np.uint64)
         wpad[: len(words)] = words
+
+        glens = None
+        if info.index is not None and is_fast_mode(info.mode):
+            cand = np.frombuffer(info.index, dtype="<u2")
+            if cand.size == nblocks * nb:
+                glens = cand.astype(np.int32)
+        if glens is not None:
+            kern = _decode_kernel_indexed(
+                nblocks, nb, h, w, order, tuple(info.cband),
+                info.mode != Mode.FTL, np.dtype(uns_dt).name, n_words)
+            img, _ = kern(jnp.asarray(wpad), jnp.asarray(glens),
+                          jnp.zeros(nb, dtype=jnp.uint64))
+            return np.asarray(img)
+
+        meta = parse_offsets(data, nblocks, nb, np.dtype(uns_dt).itemsize, info.mode)
         kern = _decode_kernel(nblocks, nb, h, w, order, tuple(info.cband),
                               info.mode != Mode.FTL, np.dtype(uns_dt).name, n_words)
         img, _ = kern(
@@ -445,13 +484,14 @@ def decode(stream: bytes):
 
 
 def encode(img: np.ndarray, mode: int = Mode.FTL, quanta: int = 1,
-           away: bool = False, coreband=None) -> bytes:
+           away: bool = False, coreband=None, index: bool = False) -> bytes:
     """One-shot convenience encoder for (H, W[, C]) arrays."""
     if img.ndim == 2:
         img = img[:, :, None]
     h, w, c = img.shape
     enc = Encoder(w, h, c, DT_FROM_NP[img.dtype])
     enc.set_mode(mode)
+    enc.with_index = index
     if quanta != 1:
         enc.set_quanta(quanta, away)
     if coreband is not None:

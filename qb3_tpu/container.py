@@ -26,7 +26,7 @@ def topbit_int(v: int) -> int:
 
 
 def write_headers(xsize: int, ysize: int, nbands: int, dtype: int, mode: int,
-                  cband, quanta: int, order: int) -> bytes:
+                  cband, quanta: int, order: int, index: bytes | None = None) -> bytes:
     out = bytearray()
     out += b"QB3\x80"
     out += struct.pack("<HHBBB", xsize - 1, ysize - 1, nbands - 1, dtype, mode & 0xFF)
@@ -37,6 +37,14 @@ def write_headers(xsize: int, ysize: int, nbands: int, dtype: int, mode: int,
         out += b"QV" + struct.pack("<H", qbytes) + quanta.to_bytes(qbytes, "little")
     if order != ZCURVE and mode != Mode.STORED:
         out += b"SC" + struct.pack("<H", 8) + struct.pack("<Q", order or HILBERT)
+    if index:
+        # "ix": our skippable sidecar (lowercase first letter => older readers
+        # ignore it, QB3decode.cpp:251-259): per-group bit lengths, u16le.
+        # NB the reference skips `len` bytes from the chunk *start*
+        # (QB3decode.cpp:254-255), so the len field counts the 4 header bytes.
+        for pos in range(0, len(index), 65530):
+            chunk = index[pos : pos + 65530]
+            out += b"ix" + struct.pack("<H", len(chunk) + 4) + chunk
     out += b"DT"
     return bytes(out)
 
@@ -100,9 +108,13 @@ def parse_headers(stream: bytes) -> StreamInfo:
             if not _check_curve(info.order):
                 raise ValueError("bad curve")
         elif sig == b"ix":
-            index += body  # our block-length sidecar (skippable extension)
+            # len counts from the chunk start (see write_headers)
+            index += stream[pos + 4 : pos + ln]
+            pos += ln
+            continue
         elif sig[0] & 0x20:
-            pass  # unknown lowercase chunk: skip
+            pos += ln  # skippable: len counts from the chunk start
+            continue
         else:
             raise ValueError(f"unknown chunk {sig!r}")
         pos += 4 + ln

@@ -1,11 +1,21 @@
 """Phase B: parallel variable-length bit packing.
 
 Replaces the serial oBits writer (bitstream.h:66-126).  Every symbol's
-absolute bit position is the exclusive prefix sum of the symbol lengths;
-each symbol then contributes to at most two 32-bit output words per 32-bit
-chunk of its code.  Contributions of different symbols touch disjoint bits,
-so a scatter-add over uint32 words reproduces the serial stream exactly
-(sum == or when bit ranges are disjoint).
+absolute bit position is the exclusive prefix sum of the symbol lengths.
+Because positions are monotonically increasing, the target 32-bit word index
+of every symbol is a *sorted* sequence — so instead of a scatter (slow on
+TPU), each output word is reconstructed as a difference of running prefix
+sums at boundaries found by one vectorized binary search:
+
+  contribution streams: a symbol at bit offset o with code c contributes
+      A = (c << (o & 31)) & M32          to word o >> 5
+      B = (c >> (32 - (o & 31)))  & M32  to word (o >> 5) + 1
+      C = (c >> (64 - (o & 31)))         to word (o >> 5) + 2  (u64 codes)
+  out[w] = segsum(A)[w] + segsum(B)[w-1] + segsum(C)[w-2]
+  segsum via cumsum (mod 2^32) + searchsorted over the sorted word indices.
+
+Contributions of different symbols touch disjoint bits, so the per-word sums
+equal the serial stream's ORs exactly.
 
 The stream is little-endian at bit level: bit position p lives in byte p>>3
 at weight 1<<(p&7); uint32 words view as 4 little-endian bytes.
@@ -17,30 +27,126 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-_M32 = jnp.uint64(0xFFFFFFFF)
+_M32_64 = jnp.uint64(0xFFFFFFFF)
 
 
 def pack_symbols(codes, lens, n_words: int):
     """Pack a symbol stream into uint32 words.
 
-    codes: (n,) uint64, each < 2**lens[i]; lens: (n,) int32 in [0, 64].
-    n_words: static output word count (must bound total bits / 32 + 1).
+    codes: (n,) uint32 or uint64, each < 2**lens[i]; lens: (n,) int32.
+    n_words: static output word count (must bound total bits / 32 + 2).
     Returns (words uint32 (n_words,), total_bits int64 scalar).
     """
+    wide = codes.dtype == jnp.uint64
+    ends = jnp.cumsum(lens, dtype=jnp.int64)
+    total = ends[-1]
+    offs = ends - lens  # exclusive prefix sum, int64
+    sh = (offs & 31).astype(codes.dtype)
+    widx = (offs >> 5).astype(jnp.int32)
+
+    if wide:
+        t = codes << sh  # low 64 of the (up to 95-bit) shifted code
+        A = (t & _M32_64).astype(jnp.uint32)
+        B = ((codes >> (jnp.uint64(32) - sh)) & _M32_64).astype(jnp.uint32)
+        # sh == 0 -> (codes >> 32) & M32, which the formula above gives; but
+        # C needs a guard: shift by 64 is out of range
+        C = jnp.where(sh == 0, jnp.uint64(0),
+                      codes >> ((jnp.uint64(64) - sh) & 63)).astype(jnp.uint32)
+        streams = (A, B, C)
+    else:
+        t = codes.astype(jnp.uint64) << sh.astype(jnp.uint64)
+        A = (t & _M32_64).astype(jnp.uint32)
+        B = (t >> jnp.uint64(32)).astype(jnp.uint32)
+        streams = (A, B)
+
+    # boundaries: r[w] = number of symbols with word index <= w
+    queries = jnp.arange(n_words, dtype=jnp.int32)
+    r = jnp.searchsorted(widx, queries, side="right").astype(jnp.int32)
+    rm = [r]
+    for _ in range(len(streams) - 1):
+        rm.append(jnp.concatenate([jnp.zeros(1, jnp.int32), rm[-1][:-1]]))
+
+    out = jnp.zeros((n_words,), dtype=jnp.uint32)
+    for s, rk in zip(streams, rm):
+        ps = jnp.concatenate([jnp.zeros(1, jnp.uint32), jnp.cumsum(s, dtype=jnp.uint32)])
+        prev = jnp.concatenate([jnp.zeros(1, jnp.int32), rk[:-1]])
+        out = out + (ps[rk] - ps[prev])
+    return out, total
+
+
+def group_bits_bound(tbits: int, best: bool) -> int:
+    """Static bound on one group's emitted bits (prefix + values [+ extras /
+    CF header / index uniques])."""
+    ubits = {8: 3, 16: 4, 32: 5, 64: 6}[tbits]
+    if not best:
+        return (ubits + 2) + 1 + 16 * (tbits + 2) + (16 if tbits == 64 else 0)
+    # best: signal+cs+flags + own-rung csw + cf code + values + extras + uniques
+    return (ubits + 2) * 3 + 2 + (tbits + 2) + 16 * (tbits + 2) + \
+        (16 if tbits == 64 else 0) + 8 * (tbits + 2)
+
+
+def pack_groups(codes, lens, n_words: int, max_group_bits: int):
+    """Two-level pack: dense per-group slab fold + one group-level scatter.
+
+    codes/lens: (ngroups, S) in stream order; the slab width W is static from
+    the shapes/dtype.  Each group's symbols fold into a W-word slab already
+    shifted to the group's bit phase (off % 32); the slab then lands at word
+    off >> 5 with a single scatter-add of ngroups*W updates — an order of
+    magnitude fewer scatter points than per-symbol placement, with the fold
+    running as pure vector ops.
+    """
+    ngroups, S = codes.shape
+    wide = codes.dtype == jnp.uint64
+    il = jnp.cumsum(lens, axis=1, dtype=jnp.int32)
+    glen = il[:, -1]
+    io = il - lens  # intra-group exclusive offsets
+    gend = jnp.cumsum(glen.astype(jnp.int64))
+    total = gend[-1]
+    goff = gend - glen  # group bit offsets
+    phase = (goff & 31).astype(jnp.int32)
+    bitpos = phase[:, None] + io  # (ngroups, S)
+    W = (31 + max_group_bits + 31) // 32
+
+    k = bitpos >> 5
+    sh = (bitpos & 31).astype(jnp.uint64)
+    t = codes.astype(jnp.uint64) << sh
+    lo = (t & _M32_64).astype(jnp.uint32)
+    mid = (t >> jnp.uint64(32)).astype(jnp.uint32)
+    if wide:
+        hi = jnp.where(sh == 0, jnp.uint64(0),
+                       codes >> ((jnp.uint64(64) - sh) & 63)).astype(jnp.uint32)
+    slabs = []
+    for j in range(W):
+        acc = jnp.sum(jnp.where(k == j, lo, 0), axis=1, dtype=jnp.uint32)
+        acc = acc + jnp.sum(jnp.where(k == j - 1, mid, 0), axis=1, dtype=jnp.uint32)
+        if wide:
+            acc = acc + jnp.sum(jnp.where(k == j - 2, hi, 0), axis=1, dtype=jnp.uint32)
+        slabs.append(acc)
+    slab = jnp.stack(slabs, axis=1)  # (ngroups, W)
+
+    base = (goff >> 5).astype(jnp.int32)
+    idx = base[:, None] + jnp.arange(W, dtype=jnp.int32)[None, :]
+    out = jnp.zeros((n_words,), dtype=jnp.uint32)
+    out = out.at[idx.reshape(-1)].add(slab.reshape(-1), mode="drop")
+    return out, total, glen.astype(jnp.uint16)
+
+
+def pack_symbols_scatter(codes, lens, n_words: int):
+    """Reference scatter-add implementation (kept for cross-checking)."""
     lens64 = lens.astype(jnp.int64)
     ends = jnp.cumsum(lens64)
-    total = ends[-1] if lens.shape[0] else jnp.int64(0)
-    offs = ends - lens64  # exclusive prefix sum
-
+    total = ends[-1]
+    offs = ends - lens64
+    codes = codes.astype(jnp.uint64)
     words = jnp.zeros((n_words,), dtype=jnp.uint32)
-    for k in (0, 1):  # 32-bit chunks of the code
-        c = (codes >> jnp.uint64(32 * k)) & _M32
+    for k in (0, 1):
+        c = (codes >> jnp.uint64(32 * k)) & _M32_64
         o = offs + 32 * k
         live = lens > 32 * k
         w = jnp.where(live, (o >> 5).astype(jnp.int32), 0)
         s = jnp.where(live, o & 31, 0).astype(jnp.uint64)
         t = jnp.where(live, c << s, 0)
-        words = words.at[w].add((t & _M32).astype(jnp.uint32), mode="drop")
+        words = words.at[w].add((t & _M32_64).astype(jnp.uint32), mode="drop")
         words = words.at[w + 1].add((t >> jnp.uint64(32)).astype(jnp.uint32), mode="drop")
     return words, total
 

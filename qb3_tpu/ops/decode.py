@@ -61,6 +61,38 @@ def _dec_value(w, rung, use_single):
     return jnp.where(tbl, tv, cv), jnp.where(tbl, tl, cl)
 
 
+_DSW_LEN = jnp.asarray(T.DSW[:, :, 0].astype(np.int32))
+_DSW_DELTA = jnp.asarray(T.DSW[:, :, 1].astype(np.int32))
+
+
+def indexed_meta(words64, glens, nblocks: int, nbands: int, ubits: int):
+    """Recover per-group metadata from the "ix" sidecar, fully on device.
+
+    FTL/BASE streams have no extended encodings, so the rung chain is a plain
+    modular prefix sum of codeswitch deltas — each delta readable from the
+    bits at the group's offset without knowing the incoming rung.
+
+    glens: (nblocks*nbands,) int32 per-group bit lengths in stream order.
+    Returns (kind, val_pos, vrung, cf) flat arrays matching decode_groups.
+    """
+    nmask = (1 << ubits) - 1
+    ends = jnp.cumsum(glens.astype(jnp.int64))
+    goff = (ends - glens).reshape(nblocks, nbands)
+    w = peek64(words64, goff)
+    has_cs = (w & 1) == 1
+    idx = ((w >> 1) & ((1 << (ubits + 1)) - 1)).astype(jnp.int32)
+    cs_len = jnp.where(has_cs, _DSW_LEN[ubits, idx], 1)
+    delta = jnp.where(has_cs, _DSW_DELTA[ubits, idx], 0)
+    rung = jnp.cumsum(delta, axis=0) & nmask  # entry runbits are zero
+    rung0 = rung == 0
+    flag = (peek64(words64, goff + cs_len.astype(jnp.int64)) & 1).astype(jnp.int32)
+    kind = jnp.where(rung0, jnp.where(flag == 1, KIND_BITS, KIND_ZERO), KIND_NORMAL)
+    val_pos = goff + cs_len.astype(jnp.int64) + jnp.where(rung0, 1, 0)
+    cf = jnp.zeros_like(w)
+    return (kind.reshape(-1).astype(jnp.uint8), val_pos.reshape(-1),
+            rung.reshape(-1), cf.reshape(-1))
+
+
 def decode_groups(words64, kind, val_pos, vrung, cf, apply_step: bool):
     """Wavefront decode of all groups -> mag-sign values (n, B2) uint64.
 

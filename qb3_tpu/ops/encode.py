@@ -160,35 +160,111 @@ def value_codes(m, rung, skipstep: bool):
     return codes, lens, ebits, elens
 
 
+def _work_dtype(tbits: int):
+    """Math width for code construction: u32 for 8/16-bit types (codes are at
+    most 17+1 bits), u64 for 32/64-bit."""
+    return jnp.uint32 if tbits <= 16 else jnp.uint64
+
+
+def value_codes_arith(m, rung, skipstep: bool):
+    """Arithmetic (gather-free) group value codes — TPU fast path.
+
+    Equivalent to value_codes(): the per-rung tables are just the base VLC
+    (QB3encode.h:132-141) composed with a value swap (rung 1: 1<->2, rung 2:
+    3<->4, rungs 3..7: 2^r-1 <-> 2^r), so both are computed branchlessly
+    instead of gathered from 256-entry tables.
+    """
+    tbits = jnp.iinfo(m.dtype).bits
+    W = _work_dtype(tbits)
+    if not skipstep:
+        match, ones = step_flip_index(m, rung)
+        flip_ok = match & (ones > 0)
+        lane = jnp.arange(B2, dtype=jnp.int32)
+        do_flip = flip_ok[..., None] & (lane == (ones - 1)[..., None]) & (rung[..., None] >= 1)
+        m = m ^ (jnp.where(do_flip, 1, 0).astype(m.dtype) << rung[..., None].astype(m.dtype))
+
+    v = m.astype(W)
+    rung_b = rung[..., None]
+    rw = rung_b.astype(W)
+    one = jnp.ones((), W)
+
+    # group-context value swap (rungs 1..7 only)
+    a = jnp.where(rung_b == 1, one, jnp.where(rung_b == 2, one * 3,
+                  (one << jnp.clip(rw, 0, 7)) - 1))
+    do_swap = (rung_b >= 1) & (rung_b <= 7)
+    v = jnp.where(do_swap & (v == a), a + 1,
+        jnp.where(do_swap & (v == a + 1), a, v))
+
+    # base VLC (works for rung >= 1; rung-0 groups take the prefix path)
+    r = jnp.maximum(rung_b, 1)
+    rwc = r.astype(W)
+    nxt = (v >> (rwc - 1)) & 1
+    top = v >> rwc
+    tb = one << rwc
+    lens = r + (top + (top | nxt)).astype(jnp.int32)
+    codes = jnp.where(top == 1, ((v ^ tb) << 2) | 3,
+            jnp.where(nxt == 1, (((v << 1) ^ tb) << 1) | 1, v << 1))
+
+    if tbits == 64:
+        ovf = lens == 65
+        ebits = jnp.where(ovf, (v >> 62) & 1, 0).astype(jnp.uint32)
+        elens = ovf.astype(jnp.int32)
+        lens = lens - elens
+    else:
+        ebits = jnp.zeros(lens.shape, dtype=jnp.uint32)
+        elens = jnp.zeros_like(lens)
+    return codes, lens, ebits, elens
+
+
+def csw_arith(rung, oldrung, ubits: int):
+    """Arithmetic codeswitch code (tables.py CSW equivalent): delta 0 is one
+    0 bit, otherwise flag + base VLC of the biased mag-sign delta at rung
+    ubits-1 (attic/tables.py:115-133)."""
+    mask = (1 << ubits) - 1
+    sb = 1 << (ubits - 1)
+    d = (rung - oldrung) & mask
+    msv = jnp.where(d & sb, 2 * ((1 << ubits) - d) - 1, 2 * ((d - 1) & (sb - 1)))
+    r = ubits - 1  # static, >= 2
+    nxt = (msv >> (r - 1)) & 1
+    top = msv >> r
+    tb = 1 << r
+    ln = r + top + (top | nxt) + 1
+    code = jnp.where(top == 1, ((msv ^ tb) << 2) | 3,
+           jnp.where(nxt == 1, (((msv << 1) ^ tb) << 1) | 1, msv << 1))
+    code = (code << 1) | 1
+    return (jnp.where(d == 0, 0, code).astype(jnp.uint32),
+            jnp.where(d == 0, 1, ln))
+
+
 def fast_symbols(m, bitsused, rung, oldrung, ubits: int, skipstep: bool):
     """Symbols for the fast encoder (FTL / BASE): per block/band
     [prefix, v0..v15 (, e0..e15)] codes and lengths.
 
     Returns (codes u64, lens i32) of shape (nblocks, C, nsym) in stream order.
     """
-    mask = (1 << ubits) - 1
-    cs_idx = (rung - oldrung) & mask
-    cs_len = _CSW_LEN[ubits, cs_idx]
-    cs_code = _CSW_CODE[ubits, cs_idx].astype(jnp.uint64)
+    tbits = int(jnp.iinfo(m.dtype).bits)
+    W = _work_dtype(tbits)
+    cs_code32, cs_len = csw_arith(rung, oldrung, ubits)
+    cs_code = cs_code32.astype(W)
 
     rung0 = bitsused <= 1  # all-zero or single-bit group (QB3encode.h:159-165)
-    flag = (bitsused & 1).astype(jnp.uint64)
-    prefix_code = jnp.where(rung0, cs_code | (flag << cs_len.astype(jnp.uint64)), cs_code)
+    flag = (bitsused & 1).astype(W)
+    prefix_code = jnp.where(rung0, cs_code | (flag << cs_len.astype(W)), cs_code)
     prefix_len = jnp.where(rung0, cs_len + 1, cs_len)
 
-    codes, lens, ebits, elens = value_codes(m, rung, skipstep)
+    codes, lens, ebits, elens = value_codes_arith(m, rung, skipstep)
     # rung-0 class: each value is a single bit when bitsused==1, nothing if 0
     r0 = rung0[..., None]
     bit1 = (bitsused == 1)[..., None]
-    codes = jnp.where(r0, m.astype(jnp.uint64) & 1, codes)
+    codes = jnp.where(r0, m.astype(W) & 1, codes)
     lens = jnp.where(r0, jnp.where(bit1, 1, 0), lens)
     elens = jnp.where(r0, 0, elens)
 
     parts_codes = [prefix_code[..., None], codes]
     parts_lens = [prefix_len[..., None], lens]
-    if int(jnp.iinfo(m.dtype).bits) == 64:
+    if tbits == 64:
         # interleave value codes and their 65th bits: v0,e0,v1,e1,...
-        vi = jnp.stack([codes, ebits.astype(jnp.uint64)], axis=-1).reshape(*codes.shape[:-1], 2 * B2)
+        vi = jnp.stack([codes, ebits.astype(W)], axis=-1).reshape(*codes.shape[:-1], 2 * B2)
         li = jnp.stack([lens, elens], axis=-1).reshape(*lens.shape[:-1], 2 * B2)
         parts_codes = [prefix_code[..., None], vi]
         parts_lens = [prefix_len[..., None], li]
@@ -209,5 +285,7 @@ def encode_fast_blocks(img, entry_prev, entry_runbits, order: int,
     vals = gather_blocks(img, order, cband)
     m, exit_prev = delta_mags(vals, entry_prev)
     bitsused, rung, oldrung, exit_runbits = block_rungs(m, entry_runbits)
-    codes, lens, = fast_symbols(m, bitsused, rung, oldrung, ubits, skipstep)
-    return codes.reshape(-1), lens.reshape(-1), exit_prev, exit_runbits
+    codes, lens = fast_symbols(m, bitsused, rung, oldrung, ubits, skipstep)
+    nsym = codes.shape[-1]
+    return (codes.reshape(-1, nsym), lens.reshape(-1, nsym),
+            exit_prev, exit_runbits)

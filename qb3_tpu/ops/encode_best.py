@@ -347,4 +347,6 @@ def encode_best_blocks(img, entry_prev, entry_runbits, entry_cf, order: int,
     parts_l.append(u_len)
     codes = jnp.concatenate(parts_c, axis=-1)
     lens = jnp.concatenate(parts_l, axis=-1)
-    return codes.reshape(-1), lens.reshape(-1), exit_prev, exit_runbits, exit_cf
+    nsym = codes.shape[-1]
+    return (codes.reshape(-1, nsym), lens.reshape(-1, nsym),
+            exit_prev, exit_runbits, exit_cf)

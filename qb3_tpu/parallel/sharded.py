@@ -27,11 +27,11 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..constants import B, HILBERT, ubits_for
-from ..ops.bitpack import pack_symbols
+from ..ops.bitpack import group_bits_bound, pack_groups
 from ..ops.encode import block_rungs, delta_mags, fast_symbols, gather_blocks
 
 
-def _shard_encode_fn(order, cband, skipstep, ubits, n_words, axis):
+def _shard_encode_fn(order, cband, skipstep, ubits, n_words, axis, maxbits):
     def fn(img_local):
         # phase A needs the neighbor's exit state; both exchanges are pure
         # functions of local pixels (no sequential chain across devices)
@@ -46,7 +46,9 @@ def _shard_encode_fn(order, cband, skipstep, ubits, n_words, axis):
         entry_runbits = jax.lax.ppermute(exit_runbits, axis, perm)
         oldrung = jnp.concatenate([entry_runbits[None, :], rung[:-1]], axis=0)
         codes, lens = fast_symbols(m, bitsused, rung, oldrung, ubits, skipstep)
-        words, total = pack_symbols(codes.reshape(-1), lens.reshape(-1), n_words)
+        nsym = codes.shape[-1]
+        words, total, _glen = pack_groups(codes.reshape(-1, nsym), lens.reshape(-1, nsym),
+                                          n_words, maxbits)
         return words[None], total[None]
 
     return fn
@@ -60,7 +62,8 @@ def _sharded_kernel(shape, npdtype, order, cband, skipstep, n_words, n_dev):
             "(set --xla_force_host_platform_device_count for CPU testing)")
     mesh = Mesh(np.array(jax.devices()[:n_dev]), ("tiles",))
     ubits = ubits_for(np.dtype(npdtype).itemsize)
-    fn = _shard_encode_fn(order, cband, skipstep, ubits, n_words, "tiles")
+    maxbits = group_bits_bound(np.dtype(npdtype).itemsize * 8, best=False)
+    fn = _shard_encode_fn(order, cband, skipstep, ubits, n_words, "tiles", maxbits)
     mapped = jax.shard_map(
         fn, mesh=mesh,
         in_specs=P("tiles"),
