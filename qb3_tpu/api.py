@@ -453,7 +453,13 @@ class Decoder:
                           jnp.zeros(nb, dtype=jnp.uint64))
             return np.asarray(img)
 
-        meta = parse_offsets(data, nblocks, nb, np.dtype(uns_dt).itemsize, info.mode)
+        from . import native
+        if native.available():
+            meta = native.parse_offsets_native(
+                data, nblocks, nb, np.dtype(uns_dt).itemsize,
+                info.mode == Mode.FTL)
+        else:
+            meta = parse_offsets(data, nblocks, nb, np.dtype(uns_dt).itemsize, info.mode)
         kern = _decode_kernel(nblocks, nb, h, w, order, tuple(info.cband),
                               info.mode != Mode.FTL, np.dtype(uns_dt).name, n_words)
         img, _ = kern(

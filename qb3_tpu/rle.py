@@ -15,14 +15,15 @@ from __future__ import annotations
 import numpy as np
 
 try:
-    from .native import rle0_encode as _native_enc, rle0_decode as _native_dec
+    from . import native as _native
+    _HAVE_NATIVE = _native.available()
 except Exception:  # pragma: no cover - native helper optional
-    _native_enc = _native_dec = None
+    _HAVE_NATIVE = False
 
 
 def rle0_encode(data: bytes) -> bytes:
-    if _native_enc is not None:
-        return _native_enc(data)
+    if _HAVE_NATIVE:
+        return _native.rle0_encode(data)
     return _rle0_encode_py(data)
 
 
@@ -60,8 +61,8 @@ def _rle0_encode_py(data: bytes) -> bytes:
 
 def rle0_decode(data: bytes, expected: int) -> bytes:
     """Expand; raises on overflow past ``expected`` bytes (malicious input guard)."""
-    if _native_dec is not None:
-        return _native_dec(data, expected)
+    if _HAVE_NATIVE:
+        return _native.rle0_decode(data, expected)
     return _rle0_decode_py(data, expected)
 
 
@@ -96,6 +97,8 @@ def _rle0_decode_py(data: bytes, expected: int) -> bytes:
 
 def rle0_decoded_size(data: bytes) -> int:
     """Size after expansion (QB3decode.cpp:294-307)."""
+    if _HAVE_NATIVE:
+        return _native.rle0_size(data)
     n = len(data)
     count = 0
     i = 0
