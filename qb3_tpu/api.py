@@ -341,14 +341,22 @@ class Encoder:
 @functools.lru_cache(maxsize=64)
 def _decode_kernel_indexed(nblocks, nbands, h, w, order, cband, apply_step, npdtype, n_words):
     from .constants import ubits_for
-    from .ops.decode import decode_groups, indexed_meta, reconstruct
+    from .ops.decode import (decode_groups, decode_groups_narrow, indexed_meta,
+                             reconstruct)
 
     out_dtype = np.dtype(npdtype)
     ubits = ubits_for(out_dtype.itemsize)
+    tbits = out_dtype.itemsize * 8
 
     def run(words64, glens, entry_prev):
         kind, val_pos, vrung, cf = indexed_meta(words64, glens, nblocks, nbands, ubits)
-        g, _ = decode_groups(words64, kind, val_pos, vrung, cf, apply_step)
+        if tbits <= 16:
+            w32 = jax.lax.bitcast_convert_type(words64, jnp.uint32).reshape(-1)
+            g, _ = decode_groups_narrow(w32, kind, val_pos, vrung, cf,
+                                        apply_step, tbits)
+        else:
+            g, _ = decode_groups(words64, kind, val_pos, vrung, cf, apply_step,
+                                 has_extended=False)
         g = g.reshape(nblocks, nbands, B2)
         img, exit_prev = reconstruct(g, entry_prev, h, w, nbands, order, cband, out_dtype)
         return img, exit_prev

@@ -93,10 +93,76 @@ def indexed_meta(words64, glens, nblocks: int, nbands: int, ubits: int):
             rung.reshape(-1), cf.reshape(-1))
 
 
-def decode_groups(words64, kind, val_pos, vrung, cf, apply_step: bool):
+def peek32(words32, bitpos):
+    """Gather 32 stream bits at arbitrary bit positions (narrow-type path)."""
+    widx = (bitpos >> 5).astype(jnp.int32)
+    sh = (bitpos & 31).astype(jnp.uint32)
+    w0 = words32[widx]
+    w1 = words32[widx + 1]
+    hi = jnp.where(sh == 0, jnp.uint32(0), w1 << ((jnp.uint32(32) - sh) & 31))
+    return (w0 >> sh) | hi
+
+
+def _vlc_decode_arith(w, rung, W):
+    """Arithmetic group-context VLC decode: base 3-range code + value swap.
+
+    The decode tables are the inverse of (swap ∘ vlc); since the swap is an
+    involution, decode == swap(vlc_decode(bits)).  Valid for rung >= 1; the
+    rung-0 class never reaches here.
+    """
+    one = jnp.ones((), W)
+    r = jnp.maximum(rung, 1)
+    rw = r.astype(W)
+    rbit = one << rw
+    short = (w & 1) == 0
+    n = (w >> 1) & 1
+    vmask = rbit - 1
+    v = jnp.where(short, (w & vmask) >> 1,
+        jnp.where(n == 0, ((w >> 2) & vmask) | (rbit >> 1),
+                  ((w >> 2) & vmask) | rbit))
+    ln = jnp.where(short, r, r + 1 + n.astype(jnp.int32))
+    # group-context swap (rung 1: 1<->2, rung 2: 3<->4, 3..7: 2^r-1<->2^r)
+    a = jnp.where(r == 1, one, jnp.where(r == 2, one * 3,
+                  (one << jnp.clip(rw, 0, 7)) - 1))
+    do_swap = r <= 7
+    v = jnp.where(do_swap & (v == a), a + 1,
+        jnp.where(do_swap & (v == a + 1), a, v))
+    return v, ln
+
+
+def decode_groups_narrow(words32, kind, val_pos, vrung, cf, apply_step: bool,
+                         tbits: int):
+    """Fast wavefront for 8/16-bit FTL/BASE streams: uint32 lanes, arithmetic
+    decode (no table gathers), no extended encodings."""
+    W = jnp.uint32
+    pos = val_pos.astype(jnp.int64)
+    is_bits = kind == KIND_BITS
+    is_group = kind == KIND_NORMAL
+    vals = []
+    for _ in range(B2):
+        w = peek32(words32, pos)
+        gv, gl = _vlc_decode_arith(w, vrung, W)
+        v = jnp.where(is_group, gv, jnp.where(is_bits, w & 1, jnp.uint32(0)))
+        ln = jnp.where(is_group, gl, jnp.where(is_bits, 1, 0))
+        vals.append(v)
+        pos = pos + ln
+    g = jnp.stack(vals, axis=-1)
+    if apply_step:
+        match, ones = step_flip_index(g, vrung)
+        lane = jnp.arange(B2, dtype=jnp.int32)
+        do = is_group & match & (vrung >= 1)
+        flip = do[:, None] & (lane[None, :] == ones[:, None]) & (ones[:, None] < B2)
+        g = g ^ (jnp.where(flip, 1, 0).astype(W) << vrung[:, None].astype(W))
+    return g, pos
+
+
+def decode_groups(words64, kind, val_pos, vrung, cf, apply_step: bool,
+                  has_extended: bool = True):
     """Wavefront decode of all groups -> mag-sign values (n, B2) uint64.
 
     words64: stream; kind/val_pos/vrung/cf: flat (n,) metadata arrays.
+    has_extended=False (FTL/BASE streams) statically removes the index/CF
+    handling from the graph.
     """
     n = kind.shape[0]
     pos = val_pos.astype(jnp.int64)
@@ -129,18 +195,19 @@ def decode_groups(words64, kind, val_pos, vrung, cf, apply_step: bool):
         pos = pos + ln
     g = jnp.stack(vals, axis=-1)  # (n, B2)
 
-    # index groups: decode up to 8 uniques at the running position
-    maxidx = jnp.max(jnp.where(is_idx[:, None], g, 0), axis=-1).astype(jnp.int32)
-    uniqs = []
-    for u in range(B2 // 2):
-        live = is_idx & (u <= maxidx)
-        w = peek64(words64, pos)
-        uv, ul = _dec_value(w, vrung, jnp.ones_like(is_zero))
-        uniqs.append(jnp.where(live, uv, 0))
-        pos = pos + jnp.where(live, ul, 0)
-    uq = jnp.stack(uniqs, axis=-1)  # (n, 8)
-    gi = jnp.take_along_axis(uq, jnp.clip(g, 0, 7).astype(jnp.int32), axis=-1)
-    g = jnp.where(is_idx[:, None], gi, g)
+    if has_extended:
+        # index groups: decode up to 8 uniques at the running position
+        maxidx = jnp.max(jnp.where(is_idx[:, None], g, 0), axis=-1).astype(jnp.int32)
+        uniqs = []
+        for u in range(B2 // 2):
+            live = is_idx & (u <= maxidx)
+            w = peek64(words64, pos)
+            uv, ul = _dec_value(w, vrung, jnp.ones_like(is_zero))
+            uniqs.append(jnp.where(live, uv, 0))
+            pos = pos + jnp.where(live, ul, 0)
+        uq = jnp.stack(uniqs, axis=-1)  # (n, 8)
+        gi = jnp.take_along_axis(uq, jnp.clip(g, 0, 7).astype(jnp.int32), axis=-1)
+        g = jnp.where(is_idx[:, None], gi, g)
 
     # step restore for group-coded kinds (QB3decode.h:285-289): CF groups
     # always, normal groups unless FTL
@@ -151,11 +218,12 @@ def decode_groups(words64, kind, val_pos, vrung, cf, apply_step: bool):
     flip = do[:, None] & (lane[None, :] == ones[:, None]) & (ones[:, None] < B2)
     g = g ^ (jnp.where(flip, 1, 0).astype(jnp.uint64) << vrung[:, None].astype(jnp.uint64))
 
-    # CF groups: multiply back; CF0: value is mags(-cf) per set bit
-    cfv = cf.astype(jnp.uint64)
-    g = jnp.where((kind == KIND_CF)[:, None], magsmul(g, cfv[:, None]), g)
-    neg = ((cfv - 1) << 1) | 1
-    g = jnp.where(is_cf0[:, None], jnp.where(g != 0, neg[:, None], 0), g)
+    if has_extended:
+        # CF groups: multiply back; CF0: value is mags(-cf) per set bit
+        cfv = cf.astype(jnp.uint64)
+        g = jnp.where((kind == KIND_CF)[:, None], magsmul(g, cfv[:, None]), g)
+        neg = ((cfv - 1) << 1) | 1
+        g = jnp.where(is_cf0[:, None], jnp.where(g != 0, neg[:, None], 0), g)
     # BITS groups: value bits decode as 0/1 mag-sign directly
     return g, pos
 
@@ -169,33 +237,39 @@ def reconstruct(groups, entry_prev, h: int, w: int, nbands: int, order: int,
     band-delta add pass.
     """
     tbits = np.iinfo(out_dtype).bits
+    lanes = jnp.iinfo(groups.dtype).bits
     nblocks = groups.shape[0]
     seq = smag(groups).transpose(1, 0, 2).reshape(nbands, nblocks * B2)
-    if tbits < 64:
-        seq = seq & jnp.uint64((1 << tbits) - 1)
-    csum = jnp.cumsum(seq, axis=1) + entry_prev[:, None].astype(jnp.uint64)
+    if tbits < lanes:
+        seq = seq & jnp.array((1 << tbits) - 1, seq.dtype)
+    csum = jnp.cumsum(seq, axis=1) + entry_prev[:, None].astype(seq.dtype)
     vals = csum.reshape(nbands, nblocks, B2).astype(out_dtype)  # truncates mod 2^bits
     exit_prev = csum[:, -1]
 
-    ys = block_origins(h)
-    xs = block_origins(w)
-    nby, nbx = len(ys), len(xs)
     offs = curve_offsets(order)
     lane_of = np.zeros((B, B), dtype=np.int32)
     for i, (dy, dx) in enumerate(offs):
         lane_of[dy, dx] = i
-    # pixel -> providing block (the last block in scan order wins on overlap)
-    py = np.arange(h)
-    px = np.arange(w)
-    by = np.minimum(py // B, nby - 1)
-    by = np.where(py >= ys[-1], nby - 1, by)
-    bx = np.minimum(px // B, nbx - 1)
-    bx = np.where(px >= xs[-1], nbx - 1, bx)
-    lane = lane_of[(py[:, None] - ys[by][:, None]), (px[None, :] - xs[bx][None, :])]
-    bidx = by[:, None] * nbx + bx[None, :]  # (h, w)
-
-    img = vals[:, bidx, lane]  # (C, H, W)
-    img = jnp.transpose(img, (1, 2, 0))
+    if h % B == 0 and w % B == 0:
+        # aligned: static inverse curve permutation + layout transposes
+        inv = lane_of.reshape(-1)  # lane index for raster position dy*B+dx
+        t = vals[:, :, inv].reshape(nbands, h // B, w // B, B, B)
+        img = t.transpose(1, 3, 2, 4, 0).reshape(h, w, nbands)
+    else:
+        ys = block_origins(h)
+        xs = block_origins(w)
+        nby, nbx = len(ys), len(xs)
+        # pixel -> providing block (the last block in scan order wins on overlap)
+        py = np.arange(h)
+        px = np.arange(w)
+        by = np.minimum(py // B, nby - 1)
+        by = np.where(py >= ys[-1], nby - 1, by)
+        bx = np.minimum(px // B, nbx - 1)
+        bx = np.where(px >= xs[-1], nbx - 1, bx)
+        lane = lane_of[(py[:, None] - ys[by][:, None]), (px[None, :] - xs[bx][None, :])]
+        bidx = by[:, None] * nbx + bx[None, :]  # (h, w)
+        img = vals[:, bidx, lane]  # (C, H, W)
+        img = jnp.transpose(img, (1, 2, 0))
     # band-delta add pass (QB3decode.h:729-737)
     cb = np.asarray(cband, dtype=np.int32)
     add = cb != np.arange(nbands)

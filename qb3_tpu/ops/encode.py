@@ -57,16 +57,24 @@ def gather_blocks(img, order: int, cband: tuple[int, ...]):
     (QB3encode.h:423-430).
     """
     h, w, nb = img.shape
-    ys = block_origins(h)
-    xs = block_origins(w)
     offs = curve_offsets(order)
-    dy = np.array([o[0] for o in offs], dtype=np.int32)
-    dx = np.array([o[1] for o in offs], dtype=np.int32)
-    iy = ys[:, None] + dy[None, :]  # (nby, B2)
-    ix = xs[:, None] + dx[None, :]  # (nbx, B2)
-    # vals[by, bx, i, c] = img[iy[by, i], ix[bx, i], c]
-    vals = img[iy[:, None, :], ix[None, :, :], :]
-    vals = vals.reshape(-1, B2, nb).transpose(0, 2, 1)  # (nblocks, C, B2)
+    if h % B == 0 and w % B == 0:
+        # aligned: blocks tile the image exactly; the curve gather becomes a
+        # static permutation over the 16-lane axis (pure layout, no gather)
+        perm = np.array([dy * B + dx for dy, dx in offs], dtype=np.int32)
+        t = img.reshape(h // B, B, w // B, B, nb)
+        t = t.transpose(0, 2, 4, 1, 3).reshape(-1, nb, B2)
+        vals = t[:, :, perm]
+    else:
+        ys = block_origins(h)
+        xs = block_origins(w)
+        dy = np.array([o[0] for o in offs], dtype=np.int32)
+        dx = np.array([o[1] for o in offs], dtype=np.int32)
+        iy = ys[:, None] + dy[None, :]  # (nby, B2)
+        ix = xs[:, None] + dx[None, :]  # (nbx, B2)
+        # vals[by, bx, i, c] = img[iy[by, i], ix[bx, i], c]
+        vals = img[iy[:, None, :], ix[None, :, :], :]
+        vals = vals.reshape(-1, B2, nb).transpose(0, 2, 1)  # (nblocks, C, B2)
     cb = np.asarray(cband, dtype=np.int32)
     core = vals[:, cb, :]
     keep = jnp.asarray((cb == np.arange(nb)).astype(img.dtype))[None, :, None]
