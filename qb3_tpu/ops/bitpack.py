@@ -115,14 +115,15 @@ def pack_groups(codes, lens, n_words: int, max_group_bits: int):
     if wide:
         hi = jnp.where(sh == 0, jnp.uint64(0),
                        codes >> ((jnp.uint64(64) - sh) & 63)).astype(jnp.uint32)
-    slabs = []
-    for j in range(W):
+    def jbody(_, j):
         acc = jnp.sum(jnp.where(k == j, lo, 0), axis=1, dtype=jnp.uint32)
         acc = acc + jnp.sum(jnp.where(k == j - 1, mid, 0), axis=1, dtype=jnp.uint32)
         if wide:
             acc = acc + jnp.sum(jnp.where(k == j - 2, hi, 0), axis=1, dtype=jnp.uint32)
-        slabs.append(acc)
-    slab = jnp.stack(slabs, axis=1)  # (ngroups, W)
+        return None, acc
+
+    _, slabs = jax.lax.scan(jbody, None, jnp.arange(W, dtype=jnp.int32))
+    slab = jnp.moveaxis(slabs, 0, 1)  # (ngroups, W)
 
     base = (goff >> 5).astype(jnp.int32)
     idx = base[:, None] + jnp.arange(W, dtype=jnp.int32)[None, :]

@@ -138,15 +138,16 @@ def decode_groups_narrow(words32, kind, val_pos, vrung, cf, apply_step: bool,
     pos = val_pos.astype(jnp.int64)
     is_bits = kind == KIND_BITS
     is_group = kind == KIND_NORMAL
-    vals = []
-    for _ in range(B2):
+
+    def body(pos, _):
         w = peek32(words32, pos)
         gv, gl = _vlc_decode_arith(w, vrung, W)
         v = jnp.where(is_group, gv, jnp.where(is_bits, w & 1, jnp.uint32(0)))
         ln = jnp.where(is_group, gl, jnp.where(is_bits, 1, 0))
-        vals.append(v)
-        pos = pos + ln
-    g = jnp.stack(vals, axis=-1)
+        return pos + ln, v
+
+    pos, vals = jax.lax.scan(body, pos, None, length=B2)
+    g = jnp.moveaxis(vals, 0, -1)
     if apply_step:
         match, ones = step_flip_index(g, vrung)
         lane = jnp.arange(B2, dtype=jnp.int32)
@@ -173,8 +174,7 @@ def decode_groups(words64, kind, val_pos, vrung, cf, apply_step: bool,
     is_group = (kind == KIND_NORMAL) | (kind == KIND_CF)
     onebit = is_bits | is_cf0
 
-    vals = []
-    for i in range(B2):
+    def body(pos, _):
         w = peek64(words64, pos)
         gv, gl = _dec_value(w, vrung, jnp.zeros_like(is_zero))
         # rung-63 long form: 65 bits, the 65th is bit 62 of the value (which
@@ -191,21 +191,23 @@ def decode_groups(words64, kind, val_pos, vrung, cf, apply_step: bool,
         ln = jnp.where(is_group, gl,
              jnp.where(is_idx, il,
              jnp.where(onebit, 1, 0)))
-        vals.append(v)
-        pos = pos + ln
-    g = jnp.stack(vals, axis=-1)  # (n, B2)
+        return pos + ln, v
+
+    pos, vals = jax.lax.scan(body, pos, None, length=B2)
+    g = jnp.moveaxis(vals, 0, -1)  # (n, B2)
 
     if has_extended:
         # index groups: decode up to 8 uniques at the running position
         maxidx = jnp.max(jnp.where(is_idx[:, None], g, 0), axis=-1).astype(jnp.int32)
-        uniqs = []
-        for u in range(B2 // 2):
+
+        def ubody(pos, u):
             live = is_idx & (u <= maxidx)
             w = peek64(words64, pos)
             uv, ul = _dec_value(w, vrung, jnp.ones_like(is_zero))
-            uniqs.append(jnp.where(live, uv, 0))
-            pos = pos + jnp.where(live, ul, 0)
-        uq = jnp.stack(uniqs, axis=-1)  # (n, 8)
+            return pos + jnp.where(live, ul, 0), jnp.where(live, uv, 0)
+
+        pos, uniqs = jax.lax.scan(ubody, pos, jnp.arange(B2 // 2))
+        uq = jnp.moveaxis(uniqs, 0, -1)  # (n, 8)
         gi = jnp.take_along_axis(uq, jnp.clip(g, 0, 7).astype(jnp.int32), axis=-1)
         g = jnp.where(is_idx[:, None], gi, g)
 
