@@ -34,6 +34,40 @@ def to_type(img8: np.ndarray, dtype, mult: int = 1) -> np.ndarray:
     return (img8.astype(dtype) * np.array(mult, dtype=dtype)).astype(dtype)
 
 
+REAL_ASSETS = [
+    # real-content images that happen to ship with installed packages
+    "/opt/venv/lib/python3.12/site-packages/matplotlib/mpl-data/sample_data/grace_hopper.jpg",
+    "/opt/venv/lib/python3.12/site-packages/gymnasium_robotics/envs/assets/adroit_hand/resources/textures/skin.png",
+    "/opt/venv/lib/python3.12/site-packages/gymnasium_robotics/envs/assets/kitchen_franka/kitchen_assets/textures/wood1.png",
+]
+REAL_DEM = ("/opt/venv/lib/python3.12/site-packages/matplotlib/mpl-data/"
+            "sample_data/jacksboro_fault_dem.npz")
+
+
+def real_images(max_side: int = 1024):
+    """Yield (name, array) for real photos found on this system, if any."""
+    import os
+
+    try:
+        from PIL import Image
+    except ImportError:
+        return
+    for p in REAL_ASSETS:
+        if os.path.exists(p):
+            arr = np.asarray(Image.open(p).convert("RGB"))[:max_side, :max_side]
+            yield os.path.basename(p), arr
+
+
+def real_dem():
+    """A real 16-bit elevation raster (BASELINE config 3), or None."""
+    import os
+
+    if not os.path.exists(REAL_DEM):
+        return None
+    z = np.load(REAL_DEM)["elevation"].astype(np.uint16)[:, :, None]
+    return z
+
+
 def random_noise(h: int, w: int, bands: int, dtype, seed: int = 1) -> np.ndarray:
     """Full-range incompressible noise (exercises stored fallback / high rungs)."""
     rng = np.random.default_rng(seed)
