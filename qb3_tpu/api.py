@@ -351,8 +351,7 @@ def _decode_kernel_indexed(nblocks, nbands, h, w, order, cband, apply_step, npdt
     def run(words64, glens, entry_prev):
         kind, val_pos, vrung, cf = indexed_meta(words64, glens, nblocks, nbands, ubits)
         if tbits <= 16:
-            w32 = jax.lax.bitcast_convert_type(words64, jnp.uint32).reshape(-1)
-            g, _ = decode_groups_narrow(w32, kind, val_pos, vrung, cf,
+            g, _ = decode_groups_narrow(words64, kind, val_pos, vrung, cf,
                                         apply_step, tbits)
         else:
             g, _ = decode_groups(words64, kind, val_pos, vrung, cf, apply_step,

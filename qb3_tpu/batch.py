@@ -52,8 +52,8 @@ def _batch_decode_kernel(n, nblocks, nbands, h, w, order, cband, apply_step,
     def one(words64, glens):
         kind, val_pos, vrung, cf = indexed_meta(words64, glens, nblocks, nbands, ubits)
         if tbits <= 16:
-            w32 = jax.lax.bitcast_convert_type(words64, jnp.uint32).reshape(-1)
-            g, _ = decode_groups_narrow(w32, kind, val_pos, vrung, cf, apply_step, tbits)
+            g, _ = decode_groups_narrow(words64, kind, val_pos, vrung, cf,
+                                        apply_step, tbits)
         else:
             g, _ = decode_groups(words64, kind, val_pos, vrung, cf, apply_step,
                                  has_extended=False)

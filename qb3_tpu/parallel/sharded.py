@@ -93,6 +93,109 @@ def encode_fast_sharded(img: np.ndarray, n_dev: int, order: int = HILBERT,
     return stitch_streams(np.asarray(words), np.asarray(totals))
 
 
+def _shard_decode_fn(order, cband, apply_step, ubits, tbits, nblocks_l, nbands,
+                     h_l, w, axis):
+    from ..ops.decode import decode_groups_narrow, decode_groups, reconstruct
+    from ..ops.decode import indexed_meta
+    from ..ops.bitutils import smag
+
+    def fn(words64, glens_l):
+        # glens_l: this shard's per-group bit lengths; global offsets need the
+        # bit total of preceding shards — an all-gather + masked sum
+        my = jax.lax.axis_index(axis)
+        local_bits = jnp.sum(glens_l.astype(jnp.int64))
+        all_bits = jax.lax.all_gather(local_bits, axis)
+        n_dev = all_bits.shape[0]
+        entry_bits = jnp.sum(jnp.where(jnp.arange(n_dev) < my, all_bits, 0))
+
+        nmask = (1 << ubits) - 1
+        ends = jnp.cumsum(glens_l.astype(jnp.int64)) + entry_bits
+        goff = (ends - glens_l).reshape(nblocks_l, nbands)
+        from ..ops.decode import _DSW_DELTA, _DSW_LEN
+        from ..ops.bitutils import peek64
+        wv = peek64(words64, goff)
+        has_cs = (wv & 1) == 1
+        idx = ((wv >> 1) & ((1 << (ubits + 1)) - 1)).astype(jnp.int32)
+        cs_len = jnp.where(has_cs, _DSW_LEN[ubits, idx], 1)
+        delta = jnp.where(has_cs, _DSW_DELTA[ubits, idx], 0)
+        # rung chain: local prefix sum + all-gathered per-shard delta totals
+        dsum = jnp.sum(delta, axis=0)
+        all_dsum = jax.lax.all_gather(dsum, axis)  # (n_dev, C)
+        entry_rung = jnp.sum(jnp.where(jnp.arange(n_dev)[:, None] < my, all_dsum, 0), axis=0)
+        rung = (jnp.cumsum(delta, axis=0) + entry_rung[None, :]) & nmask
+        rung0 = rung == 0
+        from ..offsets import KIND_BITS, KIND_NORMAL, KIND_ZERO
+        flag = (peek64(words64, goff + cs_len.astype(jnp.int64)) & 1).astype(jnp.int32)
+        kind = jnp.where(rung0, jnp.where(flag == 1, KIND_BITS, KIND_ZERO), KIND_NORMAL)
+        val_pos = goff + cs_len.astype(jnp.int64) + jnp.where(rung0, 1, 0)
+        cf = jnp.zeros_like(wv)
+
+        if tbits <= 16:
+            g, _ = decode_groups_narrow(words64, kind.reshape(-1).astype(jnp.uint8),
+                                        val_pos.reshape(-1), rung.reshape(-1),
+                                        cf.reshape(-1), apply_step, tbits)
+        else:
+            g, _ = decode_groups(words64, kind.reshape(-1).astype(jnp.uint8),
+                                 val_pos.reshape(-1), rung.reshape(-1),
+                                 cf.reshape(-1), apply_step, has_extended=False)
+        g = g.reshape(nblocks_l, nbands, 16)
+        # prev chain: local delta totals exchanged the same way (mod 2^bits)
+        dsum_v = jnp.sum(smag(g).transpose(1, 0, 2).reshape(nbands, -1), axis=1)
+        all_v = jax.lax.all_gather(dsum_v, axis)
+        entry_prev = jnp.sum(jnp.where(jnp.arange(n_dev)[:, None] < my, all_v, 0), axis=0)
+        img, _ = reconstruct(g, entry_prev, h_l, w, nbands, order, cband,
+                             np.dtype(f"uint{tbits}"))
+        return img
+
+    return fn
+
+
+@functools.lru_cache(maxsize=16)
+def _sharded_decode_kernel(npdtype, order, cband, apply_step, n_words, n_dev,
+                           h, w, nbands):
+    if len(jax.devices()) < n_dev:
+        raise RuntimeError(f"need {n_dev} devices")
+    from ..constants import ubits_for
+    mesh = Mesh(np.array(jax.devices()[:n_dev]), ("tiles",))
+    tsize = np.dtype(npdtype).itemsize
+    h_l = h // n_dev
+    nblocks_l = (h_l // B) * (w // B)
+    fn = _shard_decode_fn(order, cband, apply_step, ubits_for(tsize), tsize * 8,
+                          nblocks_l, nbands, h_l, w, "tiles")
+    mapped = jax.shard_map(fn, mesh=mesh, in_specs=(P(), P("tiles")),
+                           out_specs=P("tiles"))
+    return jax.jit(mapped), mesh
+
+
+def decode_fast_sharded(stream: bytes, n_dev: int) -> np.ndarray:
+    """Decode an indexed FTL/BASE stream with the image sharded over n_dev
+    devices (block-row strips); offsets/rung/prev chains cross shard
+    boundaries via all-gathered per-shard totals."""
+    from .. import container
+    from ..api import NP_FROM_DT, UNSIGNED
+    from ..constants import DType, Mode
+    from ..ops.decode import payload_words
+
+    info = container.parse_headers(stream)
+    assert info.index is not None and info.mode in (Mode.FTL, Mode.BASE_H, Mode.BASE_Z)
+    h, w, nb = info.ysize, info.xsize, info.nbands
+    assert h % (B * n_dev) == 0 and w % B == 0
+    np_dt = NP_FROM_DT[DType(info.dtype)]
+    uns_dt = UNSIGNED[np.dtype(np_dt).itemsize]
+    glens = np.frombuffer(info.index, dtype="<u2").astype(np.int32)
+    words = payload_words(stream[info.data_offset:])
+    n_words = 1 << max(4, int(np.ceil(np.log2(len(words) + 1))))
+    wpad = np.zeros(n_words, np.uint64)
+    wpad[: len(words)] = words
+    kern, mesh = _sharded_decode_kernel(
+        np.dtype(uns_dt).name, info.order or HILBERT, tuple(info.cband),
+        info.mode != Mode.FTL, n_words, n_dev, h, w, nb)
+    gl = jax.device_put(jnp.asarray(glens), NamedSharding(mesh, P("tiles")))
+    wd = jax.device_put(jnp.asarray(wpad), NamedSharding(mesh, P()))
+    out = np.asarray(kern(wd, gl))
+    return out.view(np_dt)
+
+
 def stitch_streams(words: np.ndarray, totals: np.ndarray) -> tuple[bytes, np.ndarray]:
     """Concatenate per-shard bitstreams at bit granularity.
 
