@@ -341,7 +341,7 @@ class Encoder:
 @functools.lru_cache(maxsize=64)
 def _decode_kernel_indexed(nblocks, nbands, h, w, order, cband, apply_step, npdtype, n_words):
     from .constants import ubits_for
-    from .ops.decode import (decode_groups, decode_groups_narrow, indexed_meta,
+    from .ops.decode import (decode_groups, decode_groups_regwindow, indexed_meta,
                              reconstruct)
 
     out_dtype = np.dtype(npdtype)
@@ -351,8 +351,8 @@ def _decode_kernel_indexed(nblocks, nbands, h, w, order, cband, apply_step, npdt
     def run(words64, glens, entry_prev):
         kind, val_pos, vrung, cf = indexed_meta(words64, glens, nblocks, nbands, ubits)
         if tbits <= 16:
-            g, _ = decode_groups_narrow(words64, kind, val_pos, vrung, cf,
-                                        apply_step, tbits)
+            g, _ = decode_groups_regwindow(words64, kind, val_pos, vrung, cf,
+                                           apply_step, tbits)
         else:
             g, _ = decode_groups(words64, kind, val_pos, vrung, cf, apply_step,
                                  has_extended=False)

@@ -42,7 +42,7 @@ def _batch_decode_kernel(n, nblocks, nbands, h, w, order, cband, apply_step,
                          npdtype, n_words):
     from .api import _decode_kernel_indexed  # reuse the single-tile body
     from .constants import ubits_for
-    from .ops.decode import (decode_groups, decode_groups_narrow, indexed_meta,
+    from .ops.decode import (decode_groups, decode_groups_regwindow, indexed_meta,
                              reconstruct)
 
     out_dtype = np.dtype(npdtype)
@@ -52,8 +52,8 @@ def _batch_decode_kernel(n, nblocks, nbands, h, w, order, cband, apply_step,
     def one(words64, glens):
         kind, val_pos, vrung, cf = indexed_meta(words64, glens, nblocks, nbands, ubits)
         if tbits <= 16:
-            g, _ = decode_groups_narrow(words64, kind, val_pos, vrung, cf,
-                                        apply_step, tbits)
+            g, _ = decode_groups_regwindow(words64, kind, val_pos, vrung, cf,
+                                           apply_step, tbits)
         else:
             g, _ = decode_groups(words64, kind, val_pos, vrung, cf, apply_step,
                                  has_extended=False)

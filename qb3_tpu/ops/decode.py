@@ -85,7 +85,8 @@ def indexed_meta(words64, glens, nblocks: int, nbands: int, ubits: int):
     delta = jnp.where(has_cs, _DSW_DELTA[ubits, idx], 0)
     rung = jnp.cumsum(delta, axis=0) & nmask  # entry runbits are zero
     rung0 = rung == 0
-    flag = (peek64(words64, goff + cs_len.astype(jnp.int64)) & 1).astype(jnp.int32)
+    # the all-zero flag sits at cs_len <= 8 bits in, within the same window
+    flag = ((w >> cs_len.astype(jnp.uint64)) & 1).astype(jnp.int32)
     kind = jnp.where(rung0, jnp.where(flag == 1, KIND_BITS, KIND_ZERO), KIND_NORMAL)
     val_pos = goff + cs_len.astype(jnp.int64) + jnp.where(rung0, 1, 0)
     cf = jnp.zeros_like(w)
@@ -128,6 +129,55 @@ def _vlc_decode_arith(w, rung, W):
     v = jnp.where(do_swap & (v == a), a + 1,
         jnp.where(do_swap & (v == a + 1), a, v))
     return v, ln
+
+
+def decode_groups_regwindow(words64, kind, val_pos, vrung, cf, apply_step: bool,
+                            tbits: int):
+    """Gather-minimal wavefront for 8/16-bit FTL/BASE streams.
+
+    A whole 8-bit group spans at most 149 bits (16-bit: 279), so 4 (resp. 6)
+    aligned 64-bit words cover it from any phase.  Those are gathered once
+    per group; all 16 value windows then come from funnel shifts over the
+    in-register words — the per-value loop does no memory access at all.
+    """
+    W = jnp.uint32
+    is_bits = kind == KIND_BITS
+    is_group = kind == KIND_NORMAL
+    nwords = 4 if tbits == 8 else 6
+    base = (val_pos >> 6).astype(jnp.int32)
+    regs = [words64[base + i] for i in range(nwords)]
+    regs.append(jnp.zeros_like(regs[0]))  # window select beyond the span
+    off = (val_pos & 63).astype(jnp.int32)  # bit offset within regs
+
+    def window(off):
+        wi = off >> 6
+        sh = (off & 63).astype(jnp.uint64)
+        lo = regs[nwords - 1]
+        hi = regs[nwords]
+        for i in range(nwords - 2, -1, -1):
+            lo = jnp.where(wi == i, regs[i], lo)
+            hi = jnp.where(wi == i, regs[i + 1], hi)
+        high = jnp.where(sh == 0, jnp.uint64(0),
+                         hi << ((jnp.uint64(64) - sh) & 63))
+        return (lo >> sh) | high
+
+    def body(off, _):
+        w = window(off).astype(W)  # codes are at most 18 bits for these types
+        gv, gl = _vlc_decode_arith(w, vrung, W)
+        v = jnp.where(is_group, gv, jnp.where(is_bits, w & 1, jnp.uint32(0)))
+        ln = jnp.where(is_group, gl, jnp.where(is_bits, 1, 0))
+        return (off + ln).astype(jnp.int32), v
+
+    off, vals = jax.lax.scan(body, off, None, length=B2)
+    g = jnp.moveaxis(vals, 0, -1)
+    pos = val_pos + (off - (val_pos & 63)).astype(jnp.int64)
+    if apply_step:
+        match, ones = step_flip_index(g, vrung)
+        lane = jnp.arange(B2, dtype=jnp.int32)
+        do = is_group & match & (vrung >= 1)
+        flip = do[:, None] & (lane[None, :] == ones[:, None]) & (ones[:, None] < B2)
+        g = g ^ (jnp.where(flip, 1, 0).astype(W) << vrung[:, None].astype(W))
+    return g, pos
 
 
 def decode_groups_narrow(words64, kind, val_pos, vrung, cf, apply_step: bool,

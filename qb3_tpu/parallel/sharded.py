@@ -95,7 +95,7 @@ def encode_fast_sharded(img: np.ndarray, n_dev: int, order: int = HILBERT,
 
 def _shard_decode_fn(order, cband, apply_step, ubits, tbits, nblocks_l, nbands,
                      h_l, w, axis):
-    from ..ops.decode import decode_groups_narrow, decode_groups, reconstruct
+    from ..ops.decode import decode_groups_regwindow, decode_groups, reconstruct
     from ..ops.decode import indexed_meta
     from ..ops.bitutils import smag
 
@@ -131,9 +131,9 @@ def _shard_decode_fn(order, cband, apply_step, ubits, tbits, nblocks_l, nbands,
         cf = jnp.zeros_like(wv)
 
         if tbits <= 16:
-            g, _ = decode_groups_narrow(words64, kind.reshape(-1).astype(jnp.uint8),
-                                        val_pos.reshape(-1), rung.reshape(-1),
-                                        cf.reshape(-1), apply_step, tbits)
+            g, _ = decode_groups_regwindow(words64, kind.reshape(-1).astype(jnp.uint8),
+                                           val_pos.reshape(-1), rung.reshape(-1),
+                                           cf.reshape(-1), apply_step, tbits)
         else:
             g, _ = decode_groups(words64, kind.reshape(-1).astype(jnp.uint8),
                                  val_pos.reshape(-1), rung.reshape(-1),
