@@ -145,7 +145,7 @@ def unpack_small(img: np.ndarray, h: int, w: int, nb: int) -> np.ndarray:
 
 @functools.lru_cache(maxsize=64)
 def _fast_kernel(shape, npdtype, order, cband, skipstep, n_words):
-    from .ops.bitpack import group_bits_bound, pack_groups
+    from .ops.bitpack import group_bits_bound, pack_groups_auto
     from .ops.encode import encode_fast_blocks
 
     maxbits = group_bits_bound(np.dtype(npdtype).itemsize * 8, best=False)
@@ -153,7 +153,7 @@ def _fast_kernel(shape, npdtype, order, cband, skipstep, n_words):
     def run(img, entry_prev, entry_runbits):
         codes, lens, exit_prev, exit_runbits = encode_fast_blocks(
             img, entry_prev, entry_runbits, order, cband, skipstep)
-        words, total, glen = pack_groups(codes, lens, n_words, maxbits)
+        words, total, glen = pack_groups_auto(codes, lens, n_words, maxbits)
         return words, total, exit_prev, exit_runbits, glen
 
     return jax.jit(run)
@@ -161,7 +161,7 @@ def _fast_kernel(shape, npdtype, order, cband, skipstep, n_words):
 
 @functools.lru_cache(maxsize=64)
 def _best_kernel(shape, npdtype, order, cband, n_words):
-    from .ops.bitpack import group_bits_bound, pack_groups
+    from .ops.bitpack import group_bits_bound, pack_groups_auto
     from .ops.encode_best import encode_best_blocks
 
     maxbits = group_bits_bound(np.dtype(npdtype).itemsize * 8, best=True)
@@ -169,7 +169,7 @@ def _best_kernel(shape, npdtype, order, cband, n_words):
     def run(img, entry_prev, entry_runbits, entry_cf):
         codes, lens, exit_prev, exit_runbits, exit_cf = encode_best_blocks(
             img, entry_prev, entry_runbits, entry_cf, order, cband)
-        words, total, glen = pack_groups(codes, lens, n_words, maxbits)
+        words, total, glen = pack_groups_auto(codes, lens, n_words, maxbits)
         return words, total, exit_prev, exit_runbits, exit_cf, glen
 
     return jax.jit(run)
