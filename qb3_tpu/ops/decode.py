@@ -143,34 +143,68 @@ def decode_groups_regwindow(words64, kind, val_pos, vrung, cf, apply_step: bool,
     W = jnp.uint32
     is_bits = kind == KIND_BITS
     is_group = kind == KIND_NORMAL
-    nwords = 4 if tbits == 8 else 6
-    base = (val_pos >> 6).astype(jnp.int32)
-    regs = [words64[base + i] for i in range(nwords)]
-    regs.append(jnp.zeros_like(regs[0]))  # window select beyond the span
-    off = (val_pos & 63).astype(jnp.int32)  # bit offset within regs
 
-    def window(off):
-        wi = off >> 6
-        sh = (off & 63).astype(jnp.uint64)
-        lo = regs[nwords - 1]
-        hi = regs[nwords]
-        for i in range(nwords - 2, -1, -1):
-            lo = jnp.where(wi == i, regs[i], lo)
-            hi = jnp.where(wi == i, regs[i + 1], hi)
-        high = jnp.where(sh == 0, jnp.uint64(0),
-                         hi << ((jnp.uint64(64) - sh) & 63))
-        return (lo >> sh) | high
+    if tbits == 8:
+        # uint32 lanes throughout: 8 aligned u32 regs cover the 149-bit span;
+        # each derived 32-bit window yields 3 values (codes <= 9 bits)
+        words32 = jax.lax.bitcast_convert_type(words64, jnp.uint32).reshape(-1)
+        base = (val_pos >> 5).astype(jnp.int32)
+        nregs = 8
+        regs = [words32[base + i] for i in range(nregs)]
+        regs.append(jnp.zeros_like(regs[0]))
+        off0 = (val_pos & 31).astype(jnp.int32)
+        wshift, wmask = 5, 31
 
-    def body(off, _):
-        w = window(off).astype(W)  # codes are at most 18 bits for these types
-        gv, gl = _vlc_decode_arith(w, vrung, W)
-        v = jnp.where(is_group, gv, jnp.where(is_bits, w & 1, jnp.uint32(0)))
-        ln = jnp.where(is_group, gl, jnp.where(is_bits, 1, 0))
-        return (off + ln).astype(jnp.int32), v
+        def window(off):
+            wi = off >> wshift
+            sh = (off & wmask).astype(W)
+            lo = regs[nregs - 1]
+            hi = regs[nregs]
+            for i in range(nregs - 2, -1, -1):
+                lo = jnp.where(wi == i, regs[i], lo)
+                hi = jnp.where(wi == i, regs[i + 1], hi)
+            high = jnp.where(sh == 0, W(0), hi << ((W(32) - sh) & wmask))
+            return (lo >> sh) | high
+    else:
+        # 6 aligned u64 regs cover the 279-bit span; 3 values per 64-bit window
+        base = (val_pos >> 6).astype(jnp.int32)
+        nregs = 6
+        regs = [words64[base + i] for i in range(nregs)]
+        regs.append(jnp.zeros_like(regs[0]))
+        off0 = (val_pos & 63).astype(jnp.int32)
 
-    off, vals = jax.lax.scan(body, off, None, length=B2)
-    g = jnp.moveaxis(vals, 0, -1)
-    pos = val_pos + (off - (val_pos & 63)).astype(jnp.int64)
+        def window(off):
+            wi = off >> 6
+            sh = (off & 63).astype(jnp.uint64)
+            lo = regs[nregs - 1]
+            hi = regs[nregs]
+            for i in range(nregs - 2, -1, -1):
+                lo = jnp.where(wi == i, regs[i], lo)
+                hi = jnp.where(wi == i, regs[i + 1], hi)
+            high = jnp.where(sh == 0, jnp.uint64(0),
+                             hi << ((jnp.uint64(64) - sh) & 63))
+            return (lo >> sh) | high
+
+    per = 3  # values decoded per window (3 * max code len fits the window)
+
+    def body(off, take):
+        w = window(off)
+        shift = jnp.zeros_like(off)
+        outs = []
+        for t in range(per):
+            ww = (w >> shift.astype(w.dtype)).astype(W)
+            gv, gl = _vlc_decode_arith(ww, vrung, W)
+            v = jnp.where(is_group, gv, jnp.where(is_bits, ww & 1, jnp.uint32(0)))
+            ln = jnp.where(is_group, gl, jnp.where(is_bits, 1, 0))
+            live = t < take
+            outs.append(jnp.where(live, v, 0))
+            shift = shift + jnp.where(live, ln, 0)
+        return (off + shift).astype(jnp.int32), jnp.stack(outs, axis=-1)
+
+    takes = np.minimum(per, B2 - np.arange(0, B2, per))
+    off, vals = jax.lax.scan(body, off0, jnp.asarray(takes))
+    g = jnp.moveaxis(vals, 0, 1).reshape(kind.shape[0], -1)[:, :B2]
+    pos = val_pos + (off - off0).astype(jnp.int64)
     if apply_step:
         match, ones = step_flip_index(g, vrung)
         lane = jnp.arange(B2, dtype=jnp.int32)
