@@ -94,6 +94,91 @@ def indexed_meta(words64, glens, nblocks: int, nbands: int, ubits: int):
             rung.reshape(-1), cf.reshape(-1))
 
 
+def decode_indexed_u8(words64, glens, nblocks: int, nbands: int,
+                      apply_step: bool, use_pallas: bool):
+    """Fused sidecar-indexed decode for 8-bit streams.
+
+    One gather per group loads its 8-word register window (via the Pallas
+    lane-mask kernel on TPU — per-element XLA gathers otherwise); the
+    codeswitch parse, rung prefix sum, and the 16-value wavefront all run on
+    those in-register windows with no further memory access.
+    """
+    W = jnp.uint32
+    ubits = 3
+    nmask = (1 << ubits) - 1
+    ngroups = nblocks * nbands
+    ends = jnp.cumsum(glens.astype(jnp.int64))
+    goff = ends - glens  # group start bit offsets
+    base = (goff >> 5).astype(jnp.int32)
+    off0 = (goff & 31).astype(jnp.int32)
+
+    NREG = 8  # 31 + 6 + 1 + 144 bits < 256
+    words32 = jax.lax.bitcast_convert_type(words64, jnp.uint32).reshape(-1)
+    if use_pallas:
+        from .pack_pallas import gather_slabs
+
+        G = 256
+        pad = (-ngroups) % G
+        basep = jnp.concatenate([base, jnp.broadcast_to(base[-1], (pad,))]) if pad else base
+        R = -(-((G * 150) // 32 + NREG + 130) // 128) * 128
+        regs_arr = gather_slabs(words32, basep, G, NREG, R)[:ngroups]
+    else:
+        regs_arr = words32[base[:, None] + jnp.arange(NREG)[None, :]]
+    regs = [regs_arr[:, i] for i in range(NREG)] + [jnp.zeros_like(base).astype(W)]
+
+    def window(off):
+        wi = off >> 5
+        sh = (off & 31).astype(W)
+        lo = regs[NREG - 1]
+        hi = regs[NREG]
+        for i in range(NREG - 2, -1, -1):
+            lo = jnp.where(wi == i, regs[i], lo)
+            hi = jnp.where(wi == i, regs[i + 1], hi)
+        high = jnp.where(sh == 0, W(0), hi << ((W(32) - sh) & 31))
+        return (lo >> sh) | high
+
+    # codeswitch parse + rung chain (modular prefix sum per band)
+    w0 = window(off0)
+    has_cs = (w0 & 1) == 1
+    idx = ((w0 >> 1) & ((1 << (ubits + 1)) - 1)).astype(jnp.int32)
+    cs_len = jnp.where(has_cs, _DSW_LEN[ubits, idx], 1)
+    delta = jnp.where(has_cs, _DSW_DELTA[ubits, idx], 0)
+    rung = (jnp.cumsum(delta.reshape(nblocks, nbands), axis=0) & nmask).reshape(-1)
+    rung0 = rung == 0
+    flag = ((w0 >> cs_len.astype(W)) & 1).astype(jnp.int32)
+    is_bits = rung0 & (flag == 1)
+    is_zero = rung0 & (flag == 0)
+    is_group = ~rung0
+    off = off0 + cs_len + jnp.where(rung0, 1, 0)
+
+    per = 3  # 3 codes (<= 9 bits each) per derived 32-bit window
+
+    def body(off, take):
+        w = window(off)
+        shift = jnp.zeros_like(off)
+        outs = []
+        for t in range(per):
+            ww = w >> shift.astype(W)
+            gv, gl = _vlc_decode_arith(ww, rung, W)
+            v = jnp.where(is_group, gv, jnp.where(is_bits, ww & 1, W(0)))
+            ln = jnp.where(is_group, gl, jnp.where(is_bits, 1, 0))
+            live = t < take
+            outs.append(jnp.where(live, v, 0))
+            shift = shift + jnp.where(live, ln, 0)
+        return (off + shift).astype(jnp.int32), jnp.stack(outs, axis=-1)
+
+    takes = np.minimum(per, B2 - np.arange(0, B2, per))
+    off, vals = jax.lax.scan(body, off, jnp.asarray(takes))
+    g = jnp.moveaxis(vals, 0, 1).reshape(ngroups, -1)[:, :B2]
+    if apply_step:
+        match, ones = step_flip_index(g, rung)
+        lane = jnp.arange(B2, dtype=jnp.int32)
+        do = is_group & match & (rung >= 1)
+        flip = do[:, None] & (lane[None, :] == ones[:, None]) & (ones[:, None] < B2)
+        g = g ^ (jnp.where(flip, 1, 0).astype(W) << rung[:, None].astype(W))
+    return g
+
+
 def peek32(words32, bitpos):
     """Gather 32 stream bits at arbitrary bit positions (narrow-type path)."""
     widx = (bitpos >> 5).astype(jnp.int32)

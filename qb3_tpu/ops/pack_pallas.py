@@ -58,6 +58,75 @@ def _placement_kernel(R: int, G: int, W: int, SUB: int):
     return kernel
 
 
+def _gather_kernel(R: int, G: int, W: int, SUB: int):
+    """Reverse of the placement kernel: per group, collect W consecutive u32
+    words starting at its (tile-relative) word offset, via lane masks over
+    the tile's contiguous stream window."""
+
+    def kernel(wstart_ref, rel_ref, words_ref, out_ref):
+        t = pl.program_id(0)
+        start = pl.multiple_of(wstart_ref[t], 128)
+        win = words_ref[:, pl.ds(start, R)]  # (1, R)
+        iota = jax.lax.broadcasted_iota(jnp.int32, (SUB, R), 1)
+
+        def body(i, _):
+            rel = rel_ref[0, i].reshape(SUB, 1)
+            winb = jnp.broadcast_to(win, (SUB, R))
+            for j in range(W):
+                w = jnp.sum(jnp.where(iota == rel + j, winb, jnp.int32(0)),
+                            axis=1, dtype=jnp.int32)
+                out_ref[0, i, :, j] = w
+            return jnp.int32(0)
+
+        jax.lax.fori_loop(jnp.int32(0), jnp.int32(G // SUB), body,
+                          jnp.int32(0))
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=("G", "W", "R", "interpret", "sub"))
+def gather_slabs(words32, base, G: int, W: int, R: int,
+                 interpret: bool = False, sub: int = SUB):
+    """words32 (n_words,) u32, base (ngroups,) i32 sorted word offsets ->
+    (ngroups, W) u32 where out[g, j] = words32[base[g] + j].
+
+    ngroups must be a multiple of G; R must cover a tile's word span plus
+    alignment slack (128) plus W.
+    """
+    SUBv = sub
+    ngroups = base.shape[0]
+    n_tiles = ngroups // G
+    wstart = (base[::G] // 128) * 128
+    rel = base - jnp.repeat(wstart, G)
+    rel = rel.reshape(n_tiles, G // SUBv, SUBv)
+    words_i32 = jax.lax.bitcast_convert_type(words32, jnp.int32).reshape(1, -1)
+
+    kernel = _gather_kernel(R, G, W, SUBv)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(n_tiles,),
+        in_specs=[
+            pl.BlockSpec((1, G // SUBv, SUBv),
+                         lambda t, ws: (t, jnp.int32(0), jnp.int32(0)),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # whole stream words
+        ],
+        out_specs=pl.BlockSpec(
+            (1, G // SUBv, SUBv, W),
+            lambda t, ws: (t, jnp.int32(0), jnp.int32(0), jnp.int32(0)),
+            memory_space=pltpu.VMEM),
+    )
+    with jax.enable_x64(False):
+        out = pl.pallas_call(
+            kernel,
+            grid_spec=grid_spec,
+            out_shape=jax.ShapeDtypeStruct((n_tiles, G // SUBv, SUBv, W), jnp.int32),
+            compiler_params=pltpu.CompilerParams(has_side_effects=True),
+            interpret=interpret,
+        )(wstart, rel, words_i32)
+    return jax.lax.bitcast_convert_type(out, jnp.uint32).reshape(ngroups, W)
+
+
 @functools.partial(jax.jit, static_argnames=("n_words", "G", "W", "R", "interpret", "sub"))
 def place_slabs(slab, base, n_words: int, G: int, W: int, R: int,
                 interpret: bool = False, sub: int = SUB):
