@@ -349,20 +349,16 @@ def _decode_kernel_indexed(nblocks, nbands, h, w, order, cband, apply_step, npdt
     tbits = out_dtype.itemsize * 8
 
     def run(words64, glens, entry_prev):
-        if tbits == 8:
-            from .ops.decode import decode_indexed_u8
-            use_pallas = jax.default_backend() == "tpu"
-            g = decode_indexed_u8(words64, glens, nblocks, nbands, apply_step,
-                                  use_pallas)
+        if tbits <= 16:
+            from .ops.decode import decode_indexed_narrow
+            g = decode_indexed_narrow(words64, glens, nblocks, nbands,
+                                      apply_step,
+                                      jax.default_backend() == "tpu", tbits)
         else:
             kind, val_pos, vrung, cf = indexed_meta(words64, glens, nblocks,
                                                     nbands, ubits)
-            if tbits == 16:
-                g, _ = decode_groups_regwindow(words64, kind, val_pos, vrung,
-                                               cf, apply_step, tbits)
-            else:
-                g, _ = decode_groups(words64, kind, val_pos, vrung, cf,
-                                     apply_step, has_extended=False)
+            g, _ = decode_groups(words64, kind, val_pos, vrung, cf,
+                                 apply_step, has_extended=False)
         g = g.reshape(nblocks, nbands, B2)
         img, exit_prev = reconstruct(g, entry_prev, h, w, nbands, order, cband, out_dtype)
         return img, exit_prev

@@ -21,7 +21,7 @@ from .constants import B, HILBERT, B2, DType, Mode, ubits_for
 
 @functools.lru_cache(maxsize=32)
 def _batch_encode_kernel(n, shape, npdtype, order, cband, skipstep, n_words):
-    from .ops.bitpack import group_bits_bound, pack_groups
+    from .ops.bitpack import group_bits_bound, pack_groups_auto
     from .ops.encode import encode_fast_blocks
 
     maxbits = group_bits_bound(np.dtype(npdtype).itemsize * 8, best=False)
@@ -31,7 +31,7 @@ def _batch_encode_kernel(n, shape, npdtype, order, cband, skipstep, n_words):
         zp = jnp.zeros(nb, dtype=img.dtype)
         zr = jnp.zeros(nb, dtype=jnp.int32)
         codes, lens, _, _ = encode_fast_blocks(img, zp, zr, order, cband, skipstep)
-        words, total, glen = pack_groups(codes, lens, n_words, maxbits)
+        words, total, glen = pack_groups_auto(codes, lens, n_words, maxbits)
         return words, total, glen
 
     return jax.jit(jax.vmap(one))
@@ -50,13 +50,16 @@ def _batch_decode_kernel(n, nblocks, nbands, h, w, order, cband, apply_step,
     tbits = out_dtype.itemsize * 8
 
     def one(words64, glens):
-        kind, val_pos, vrung, cf = indexed_meta(words64, glens, nblocks, nbands, ubits)
         if tbits <= 16:
-            g, _ = decode_groups_regwindow(words64, kind, val_pos, vrung, cf,
-                                           apply_step, tbits)
+            from .ops.decode import decode_indexed_narrow
+            g = decode_indexed_narrow(words64, glens, nblocks, nbands,
+                                      apply_step,
+                                      jax.default_backend() == "tpu", tbits)
         else:
-            g, _ = decode_groups(words64, kind, val_pos, vrung, cf, apply_step,
-                                 has_extended=False)
+            kind, val_pos, vrung, cf = indexed_meta(words64, glens, nblocks,
+                                                    nbands, ubits)
+            g, _ = decode_groups(words64, kind, val_pos, vrung, cf,
+                                 apply_step, has_extended=False)
         g = g.reshape(nblocks, nbands, B2)
         img, _ = reconstruct(g, jnp.zeros(nbands, jnp.uint64), h, w, nbands,
                              order, cband, out_dtype)

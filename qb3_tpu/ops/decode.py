@@ -94,17 +94,19 @@ def indexed_meta(words64, glens, nblocks: int, nbands: int, ubits: int):
             rung.reshape(-1), cf.reshape(-1))
 
 
-def decode_indexed_u8(words64, glens, nblocks: int, nbands: int,
-                      apply_step: bool, use_pallas: bool):
-    """Fused sidecar-indexed decode for 8-bit streams.
+def decode_indexed_narrow(words64, glens, nblocks: int, nbands: int,
+                          apply_step: bool, use_pallas: bool, tbits: int = 8):
+    """Fused sidecar-indexed decode for 8/16-bit streams.
 
-    One gather per group loads its 8-word register window (via the Pallas
-    lane-mask kernel on TPU — per-element XLA gathers otherwise); the
-    codeswitch parse, rung prefix sum, and the 16-value wavefront all run on
-    those in-register windows with no further memory access.
+    One gather per group loads its register window (via the Pallas lane-mask
+    kernel on TPU — per-element XLA gathers otherwise); the codeswitch
+    parse, rung prefix sum, and the 16-value wavefront all run on those
+    in-register windows with no further memory access.  8-bit groups span
+    at most 150 bits (8 u32 regs, 32-bit value windows); 16-bit groups at
+    most 279 (12 u32 regs, 64-bit value windows).
     """
     W = jnp.uint32
-    ubits = 3
+    ubits = 3 if tbits == 8 else 4
     nmask = (1 << ubits) - 1
     ngroups = nblocks * nbands
     ends = jnp.cumsum(glens.astype(jnp.int64))
@@ -112,7 +114,8 @@ def decode_indexed_u8(words64, glens, nblocks: int, nbands: int,
     base = (goff >> 5).astype(jnp.int32)
     off0 = (goff & 31).astype(jnp.int32)
 
-    NREG = 8  # 31 + 6 + 1 + 144 bits < 256
+    NREG = 8 if tbits == 8 else 12
+    gmax = 150 if tbits == 8 else 280
     words32 = jax.lax.bitcast_convert_type(words64, jnp.uint32).reshape(-1)
     if use_pallas:
         from .pack_pallas import gather_slabs
@@ -120,45 +123,62 @@ def decode_indexed_u8(words64, glens, nblocks: int, nbands: int,
         G = 256
         pad = (-ngroups) % G
         basep = jnp.concatenate([base, jnp.broadcast_to(base[-1], (pad,))]) if pad else base
-        R = -(-((G * 150) // 32 + NREG + 130) // 128) * 128
+        R = -(-((G * gmax) // 32 + NREG + 130) // 128) * 128
         regs_arr = gather_slabs(words32, basep, G, NREG, R)[:ngroups]
     else:
         regs_arr = words32[base[:, None] + jnp.arange(NREG)[None, :]]
-    regs = [regs_arr[:, i] for i in range(NREG)] + [jnp.zeros_like(base).astype(W)]
+    regs = [regs_arr[:, i] for i in range(NREG)]
+    regs += [jnp.zeros_like(base).astype(W), jnp.zeros_like(base).astype(W)]
 
-    def window(off):
-        wi = off >> 5
-        sh = (off & 31).astype(W)
-        lo = regs[NREG - 1]
-        hi = regs[NREG]
+    def sel(wi, k):
+        out = regs[NREG - 1 + k]
         for i in range(NREG - 2, -1, -1):
-            lo = jnp.where(wi == i, regs[i], lo)
-            hi = jnp.where(wi == i, regs[i + 1], hi)
-        high = jnp.where(sh == 0, W(0), hi << ((W(32) - sh) & 31))
-        return (lo >> sh) | high
+            out = jnp.where(wi == i, regs[i + k], out)
+        return out
+
+    if tbits == 8:
+        def window(off):
+            wi = off >> 5
+            sh = (off & 31).astype(W)
+            lo = sel(wi, 0)
+            hi = sel(wi, 1)
+            high = jnp.where(sh == 0, W(0), hi << ((W(32) - sh) & 31))
+            return (lo >> sh) | high
+    else:
+        def window(off):
+            # 64-bit window assembled from three u32 regs
+            wi = off >> 5
+            sh = (off & 31).astype(jnp.uint64)
+            r0 = sel(wi, 0).astype(jnp.uint64)
+            r1 = sel(wi, 1).astype(jnp.uint64)
+            r2 = sel(wi, 2).astype(jnp.uint64)
+            w = (r0 >> sh) | (r1 << (jnp.uint64(32) - sh))
+            w = jnp.where(sh == 0, r0 | (r1 << 32), w)
+            w = w | jnp.where(sh == 0, jnp.uint64(0), r2 << (jnp.uint64(64) - sh))
+            return w
 
     # codeswitch parse + rung chain (modular prefix sum per band)
     w0 = window(off0)
     has_cs = (w0 & 1) == 1
-    idx = ((w0 >> 1) & ((1 << (ubits + 1)) - 1)).astype(jnp.int32)
+    idx = ((w0 >> 1) & w0.dtype.type(((1 << (ubits + 1)) - 1))).astype(jnp.int32)
     cs_len = jnp.where(has_cs, _DSW_LEN[ubits, idx], 1)
     delta = jnp.where(has_cs, _DSW_DELTA[ubits, idx], 0)
     rung = (jnp.cumsum(delta.reshape(nblocks, nbands), axis=0) & nmask).reshape(-1)
     rung0 = rung == 0
-    flag = ((w0 >> cs_len.astype(W)) & 1).astype(jnp.int32)
+    flag = ((w0 >> cs_len.astype(w0.dtype)) & 1).astype(jnp.int32)
     is_bits = rung0 & (flag == 1)
     is_zero = rung0 & (flag == 0)
     is_group = ~rung0
     off = off0 + cs_len + jnp.where(rung0, 1, 0)
 
-    per = 3  # 3 codes (<= 9 bits each) per derived 32-bit window
+    per = 3  # 3 codes per derived window (3x max code len fits the window)
 
     def body(off, take):
         w = window(off)
         shift = jnp.zeros_like(off)
         outs = []
         for t in range(per):
-            ww = w >> shift.astype(W)
+            ww = (w >> shift.astype(w.dtype)).astype(W)
             gv, gl = _vlc_decode_arith(ww, rung, W)
             v = jnp.where(is_group, gv, jnp.where(is_bits, ww & 1, W(0)))
             ln = jnp.where(is_group, gl, jnp.where(is_bits, 1, 0))
@@ -469,3 +489,8 @@ def reconstruct(groups, entry_prev, h: int, w: int, nbands: int, order: int,
     core = img[:, :, cb]
     img = img + core * jnp.asarray(add.astype(out_dtype))[None, None, :]
     return img, exit_prev
+
+
+def decode_indexed_u8(words64, glens, nblocks, nbands, apply_step, use_pallas):
+    return decode_indexed_narrow(words64, glens, nblocks, nbands, apply_step,
+                                 use_pallas, tbits=8)
