@@ -137,6 +137,28 @@ def main():
     except Exception as e:  # pragma: no cover
         print(f"# batch path skipped: {e}", file=sys.stderr)
 
+    # ---- 64-bit raster rates (the BASELINE's second axis), reported to stderr
+    try:
+        img64 = (natural_image(256, 256, 1, seed=7).astype(np.uint64)
+                 * np.uint64(1 << 40))
+        s64 = qb3_tpu.encode(img64, mode=qb3_tpu.Mode.FTL)
+        import refqb3
+        if refqb3.available():
+            assert s64 == refqb3.ref_encode(img64, mode=8), "u64 not bit-exact"
+        nw64 = (max_encoded_size(256, 256, 1, 6) + 3) // 4 + 2
+        ek64 = _fast_kernel((256, 256, 1), "uint64", HILBERT, (0,), True, nw64)
+        d64 = jax.device_put(jnp.asarray(img64))
+        p64 = jnp.zeros(1, jnp.uint64)
+        r64 = jnp.zeros(1, jnp.int32)
+        t64 = sustained(lambda: ek64(d64, p64, r64), 20)
+        dec64, _ = qb3_tpu.decode(s64)
+        assert (dec64 == img64).all()
+        t64d = sustained(lambda: qb3_tpu.decode(s64), 5)
+        print(f"# u64 256x256: device encode {img64.nbytes/1e6/t64:.1f} MB/s, "
+              f"host decode {img64.nbytes/1e6/t64d:.1f} MB/s", file=sys.stderr)
+    except Exception as e:  # pragma: no cover
+        print(f"# u64 bench skipped: {e}", file=sys.stderr)
+
     # end-to-end host rates for transparency
     t_e2e_enc = sustained(lambda: qb3_tpu.encode(img, mode=qb3_tpu.Mode.FTL), 5)
     t_e2e_dec = sustained(lambda: qb3_tpu.decode(sidx), 5)

@@ -319,55 +319,6 @@ def decode_groups_regwindow(words64, kind, val_pos, vrung, cf, apply_step: bool,
     return g, pos
 
 
-def decode_groups_narrow(words64, kind, val_pos, vrung, cf, apply_step: bool,
-                         tbits: int):
-    """Fast wavefront for 8/16-bit FTL/BASE streams: uint32 lanes, arithmetic
-    decode (no table gathers), no extended encodings.
-
-    Gathers dominate this kernel, so each peek decodes several values from
-    one window: 8-bit codes are at most 9 bits (3 fit in a 32-bit window),
-    16-bit codes at most 17 bits (3 fit in a 64-bit window).
-    """
-    W = jnp.uint32
-    pos = val_pos.astype(jnp.int64)
-    is_bits = kind == KIND_BITS
-    is_group = kind == KIND_NORMAL
-    per_peek = 3
-    words32 = jax.lax.bitcast_convert_type(words64, jnp.uint32).reshape(-1)
-
-    def dec_one(w, shift):
-        gv, gl = _vlc_decode_arith((w >> shift).astype(W), vrung, W)
-        v = jnp.where(is_group, gv,
-                      jnp.where(is_bits, (w >> shift).astype(W) & 1, jnp.uint32(0)))
-        ln = jnp.where(is_group, gl, jnp.where(is_bits, 1, 0))
-        return v, ln
-
-    def body(pos, take):
-        if tbits == 8:
-            w = peek32(words32, pos)
-        else:
-            w = peek64(words64, pos)
-        shift = jnp.zeros_like(pos, dtype=w.dtype)
-        outs = []
-        for t in range(per_peek):
-            v, ln = dec_one(w, shift)
-            live = t < take
-            outs.append(jnp.where(live, v, 0))
-            shift = shift + jnp.where(live, ln, 0).astype(w.dtype)
-        return pos + shift.astype(jnp.int64), jnp.stack(outs, axis=-1)
-
-    takes = np.minimum(per_peek, B2 - np.arange(0, B2, per_peek))
-    pos, vals = jax.lax.scan(body, pos, jnp.asarray(takes))
-    g = jnp.moveaxis(vals, 0, 1).reshape(kind.shape[0], -1)[:, :B2]
-    if apply_step:
-        match, ones = step_flip_index(g, vrung)
-        lane = jnp.arange(B2, dtype=jnp.int32)
-        do = is_group & match & (vrung >= 1)
-        flip = do[:, None] & (lane[None, :] == ones[:, None]) & (ones[:, None] < B2)
-        g = g ^ (jnp.where(flip, 1, 0).astype(W) << vrung[:, None].astype(W))
-    return g, pos
-
-
 def decode_groups(words64, kind, val_pos, vrung, cf, apply_step: bool,
                   has_extended: bool = True):
     """Wavefront decode of all groups -> mag-sign values (n, B2) uint64.
