@@ -171,24 +171,63 @@ def decode_indexed_narrow(words64, glens, nblocks: int, nbands: int,
     is_group = ~rung0
     off = off0 + cs_len + jnp.where(rung0, 1, 0)
 
-    per = 3  # 3 codes per derived window (3x max code len fits the window)
-
-    def body(off, take):
-        w = window(off)
-        shift = jnp.zeros_like(off)
-        outs = []
-        for t in range(per):
-            ww = (w >> shift.astype(w.dtype)).astype(W)
-            gv, gl = _vlc_decode_arith(ww, rung, W)
-            v = jnp.where(is_group, gv, jnp.where(is_bits, ww & 1, W(0)))
-            ln = jnp.where(is_group, gl, jnp.where(is_bits, 1, 0))
-            live = t < take
-            outs.append(jnp.where(live, v, 0))
-            shift = shift + jnp.where(live, ln, 0)
-        return (off + shift).astype(jnp.int32), jnp.stack(outs, axis=-1)
-
+    per = 3
     takes = np.minimum(per, B2 - np.arange(0, B2, per))
-    off, vals = jax.lax.scan(body, off, jnp.asarray(takes))
+
+    if tbits == 8:
+        # vectorized bit reader: a u64 accumulator per group, refilled with
+        # one reg word (single dynamic select) per macro step.  Sound for u8
+        # because a step consumes <= 27 bits < the 32-bit refill, and the
+        # refill shift (navail < 27) keeps the word inside the accumulator.
+        def selreg(k):
+            out = regs[NREG]  # zero pad
+            for i in range(NREG - 1, -1, -1):
+                out = jnp.where(k == i, regs[i], out)
+            return out.astype(jnp.uint64)
+
+        k0 = off >> 5
+        acc0 = (selreg(k0) | (selreg(k0 + 1) << 32)) >> (off & 31).astype(jnp.uint64)
+        navail0 = 64 - (off & 31)
+        k0 = k0 + 2
+
+        def body(carry, take):
+            acc, navail, k = carry
+            shift = jnp.zeros_like(navail)
+            outs = []
+            for t in range(per):
+                ww = (acc >> shift.astype(jnp.uint64)).astype(W)
+                gv, gl = _vlc_decode_arith(ww, rung, W)
+                v = jnp.where(is_group, gv, jnp.where(is_bits, ww & 1, W(0)))
+                ln = jnp.where(is_group, gl, jnp.where(is_bits, 1, 0))
+                live = t < take
+                outs.append(jnp.where(live, v, 0))
+                shift = shift + jnp.where(live, ln, 0)
+            acc = acc >> shift.astype(jnp.uint64)
+            navail = navail - shift
+            need = navail < 27
+            fill = jnp.where(need, selreg(k), jnp.uint64(0))
+            acc = acc | (fill << navail.astype(jnp.uint64))
+            navail = navail + jnp.where(need, 32, 0)
+            k = k + jnp.where(need, 1, 0)
+            return (acc, navail, k), jnp.stack(outs, axis=-1)
+
+        _, vals = jax.lax.scan(body, (acc0, navail0, k0), jnp.asarray(takes))
+    else:
+        def body(off, take):
+            w = window(off)
+            shift = jnp.zeros_like(off)
+            outs = []
+            for t in range(per):
+                ww = (w >> shift.astype(w.dtype)).astype(W)
+                gv, gl = _vlc_decode_arith(ww, rung, W)
+                v = jnp.where(is_group, gv, jnp.where(is_bits, ww & 1, W(0)))
+                ln = jnp.where(is_group, gl, jnp.where(is_bits, 1, 0))
+                live = t < take
+                outs.append(jnp.where(live, v, 0))
+                shift = shift + jnp.where(live, ln, 0)
+            return (off + shift).astype(jnp.int32), jnp.stack(outs, axis=-1)
+
+        _, vals = jax.lax.scan(body, off, jnp.asarray(takes))
     g = jnp.moveaxis(vals, 0, 1).reshape(ngroups, -1)[:, :B2]
     if apply_step:
         match, ones = step_flip_index(g, rung)
