@@ -338,8 +338,20 @@ class Encoder:
 
 # ------------------------------------------------------------------- decoder
 
+def _indexed_window_R(glens: np.ndarray, tbits: int, G: int = 256) -> int:
+    """Window word count for the Pallas gather, from the actual per-tile
+    spans in the sidecar (bucketed to limit recompiles)."""
+    nreg = 8 if tbits == 8 else 12
+    bits = np.concatenate([[0], np.cumsum(glens.astype(np.int64))])
+    starts = bits[:-1:G] // 32
+    spans = np.diff(np.concatenate([starts, [bits[-1] // 32 + 1]]))
+    R = int(spans.max()) + nreg + 130
+    return max(256, -(-R // 256) * 256)
+
+
 @functools.lru_cache(maxsize=64)
-def _decode_kernel_indexed(nblocks, nbands, h, w, order, cband, apply_step, npdtype, n_words):
+def _decode_kernel_indexed(nblocks, nbands, h, w, order, cband, apply_step, npdtype, n_words,
+                           R=None):
     from .constants import ubits_for
     from .ops.decode import (decode_groups, decode_groups_regwindow, indexed_meta,
                              reconstruct)
@@ -353,7 +365,7 @@ def _decode_kernel_indexed(nblocks, nbands, h, w, order, cband, apply_step, npdt
             from .ops.decode import decode_indexed_narrow
             g = decode_indexed_narrow(words64, glens, nblocks, nbands,
                                       apply_step,
-                                      jax.default_backend() == "tpu", tbits)
+                                      jax.default_backend() == "tpu", tbits, R)
         else:
             kind, val_pos, vrung, cf = indexed_meta(words64, glens, nblocks,
                                                     nbands, ubits)
@@ -456,9 +468,11 @@ class Decoder:
             if cand.size == nblocks * nb:
                 glens = cand.astype(np.int32)
         if glens is not None:
+            tb = np.dtype(uns_dt).itemsize * 8
+            R = _indexed_window_R(glens, tb) if tb <= 16 else None
             kern = _decode_kernel_indexed(
                 nblocks, nb, h, w, order, tuple(info.cband),
-                info.mode != Mode.FTL, np.dtype(uns_dt).name, n_words)
+                info.mode != Mode.FTL, np.dtype(uns_dt).name, n_words, R)
             img, _ = kern(jnp.asarray(wpad), jnp.asarray(glens),
                           jnp.zeros(nb, dtype=jnp.uint64))
             return np.asarray(img)

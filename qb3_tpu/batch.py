@@ -39,7 +39,7 @@ def _batch_encode_kernel(n, shape, npdtype, order, cband, skipstep, n_words):
 
 @functools.lru_cache(maxsize=32)
 def _batch_decode_kernel(n, nblocks, nbands, h, w, order, cband, apply_step,
-                         npdtype, n_words):
+                         npdtype, n_words, R=None):
     from .api import _decode_kernel_indexed  # reuse the single-tile body
     from .constants import ubits_for
     from .ops.decode import (decode_groups, decode_groups_regwindow, indexed_meta,
@@ -54,7 +54,7 @@ def _batch_decode_kernel(n, nblocks, nbands, h, w, order, cband, apply_step,
             from .ops.decode import decode_indexed_narrow
             g = decode_indexed_narrow(words64, glens, nblocks, nbands,
                                       apply_step,
-                                      jax.default_backend() == "tpu", tbits)
+                                      jax.default_backend() == "tpu", tbits, R)
         else:
             kind, val_pos, vrung, cf = indexed_meta(words64, glens, nblocks,
                                                     nbands, ubits)
@@ -125,8 +125,11 @@ def decode_tiles(streams: list[bytes]) -> np.ndarray:
         wpad[j, : len(x)] = x
     glens = np.stack([
         np.frombuffer(i.index, dtype="<u2").astype(np.int32) for i in infos])
+    from .api import _indexed_window_R
+    tb = np.dtype(uns_dt).itemsize * 8
+    R = max(_indexed_window_R(g, tb) for g in glens) if tb <= 16 else None
     kern = _batch_decode_kernel(len(streams), nblocks, nb, h, w, order,
                                 tuple(i0.cband), i0.mode != Mode.FTL,
-                                np.dtype(uns_dt).name, n_words)
+                                np.dtype(uns_dt).name, n_words, R)
     out = np.asarray(kern(jnp.asarray(wpad), jnp.asarray(glens)))
     return out.view(np_dt)

@@ -95,7 +95,8 @@ def indexed_meta(words64, glens, nblocks: int, nbands: int, ubits: int):
 
 
 def decode_indexed_narrow(words64, glens, nblocks: int, nbands: int,
-                          apply_step: bool, use_pallas: bool, tbits: int = 8):
+                          apply_step: bool, use_pallas: bool, tbits: int = 8,
+                          R: int | None = None):
     """Fused sidecar-indexed decode for 8/16-bit streams.
 
     One gather per group loads its register window (via the Pallas lane-mask
@@ -123,8 +124,9 @@ def decode_indexed_narrow(words64, glens, nblocks: int, nbands: int,
         G = 256
         pad = (-ngroups) % G
         basep = jnp.concatenate([base, jnp.broadcast_to(base[-1], (pad,))]) if pad else base
-        R = -(-((G * gmax) // 32 + NREG + 130) // 128) * 128
-        regs_arr = gather_slabs(words32, basep, G, NREG, R)[:ngroups]
+        if R is None:
+            R = -(-((G * gmax) // 32 + NREG + 130) // 128) * 128
+        regs_arr = gather_slabs(words32, basep, G, NREG, R, sub=16)[:ngroups]
     else:
         regs_arr = words32[base[:, None] + jnp.arange(NREG)[None, :]]
     regs = [regs_arr[:, i] for i in range(NREG)]
