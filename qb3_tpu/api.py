@@ -167,10 +167,11 @@ def _best_kernel(shape, npdtype, order, cband, n_words):
     maxbits = group_bits_bound(np.dtype(npdtype).itemsize * 8, best=True)
 
     def run(img, entry_prev, entry_runbits, entry_cf):
-        codes, lens, exit_prev, exit_runbits, exit_cf = encode_best_blocks(
+        (codes, lens, exit_prev, exit_runbits, exit_cf,
+         meta16, cfv) = encode_best_blocks(
             img, entry_prev, entry_runbits, entry_cf, order, cband)
         words, total, glen = pack_groups_auto(codes, lens, n_words, maxbits)
-        return words, total, exit_prev, exit_runbits, exit_cf, glen
+        return words, total, exit_prev, exit_runbits, exit_cf, glen, meta16, cfv
 
     return jax.jit(run)
 
@@ -193,8 +194,9 @@ class Encoder:
         self.stride = 0
         self.cband = default_cband(bands)
         self.error = Error.OK
-        self.with_index = False  # emit the "ix" block-length sidecar chunk
+        self.with_index = False  # emit the "ix"/"ib" decode sidecar chunk
         self._last_glens = None
+        self._last_best_meta = None
         self.reset()
 
     def reset(self):
@@ -276,10 +278,15 @@ class Encoder:
             uns = repack_small(uns)
 
         payload, state = self._encode_payload(uns, mode)
-        index = self._last_glens.astype("<u2").tobytes() if self.with_index else None
+        index, index_sig = None, b"ix"
+        if self.with_index:
+            if is_best_mode(mode):
+                index, index_sig = self._best_sidecar(), b"ib"
+            else:
+                index = self._last_glens.astype("<u2").tobytes()
         header = container.write_headers(
             self.xsize, self.ysize, self.nbands, self.dtype, mode,
-            self.cband, self.quanta, self.order, index)
+            self.cband, self.quanta, self.order, index, index_sig)
         result = header + payload
 
         if needs_rle(user_mode):
@@ -290,7 +297,7 @@ class Encoder:
                         len(packed) <= self.max_encoded_size() - len(result):
                     header2 = container.write_headers(
                         self.xsize, self.ysize, self.nbands, self.dtype, user_mode,
-                        self.cband, self.quanta, self.order, index)
+                        self.cband, self.quanta, self.order, index, index_sig)
                     self._commit_state(state)
                     return header2 + packed
             self._commit_state(state)
@@ -316,17 +323,34 @@ class Encoder:
         elif is_best_mode(mode):
             kern = _best_kernel((h, w, nb), uns.dtype.name, order,
                                 tuple(self.cband), n_words)
-            words, total, xprev, xrun, xcf, glen = kern(
+            words, total, xprev, xrun, xcf, glen, meta16, cfv = kern(
                 jnp.asarray(uns),
                 jnp.asarray(self.band_prev.astype(uns.dtype)),
                 jnp.asarray(self.band_runbits),
                 jnp.asarray(self.band_cf.astype(uns.dtype)))
             state = (np.asarray(xprev), np.asarray(xrun), np.asarray(xcf))
+            self._last_best_meta = (np.asarray(meta16), np.asarray(cfv))
         else:
             raise ValueError(f"unsupported mode {mode}")
         from .ops.bitpack import words_to_bytes
         self._last_glens = np.asarray(glen)
         return words_to_bytes(np.asarray(words), int(total)), state
+
+    def _best_sidecar(self) -> bytes | None:
+        """"ib" chunk payload: per-group u16 glen, u16 meta
+        (kind | vrung << 3 | prefix_len << 9), then u16 biased CF (cf-2) for
+        CF/CF0 groups only, all little-endian in group order.  None when a CF
+        exceeds 16 bits (decoder falls back to the serial walk)."""
+        from .offsets import KIND_CF, KIND_CF0
+
+        meta16, cfv = self._last_best_meta
+        kind = meta16 & 7
+        cfm = cfv[(kind == KIND_CF) | (kind == KIND_CF0)].astype(np.uint64)
+        if cfm.size and int(cfm.max()) > 0xFFFF:
+            return None
+        return (self._last_glens.astype("<u2").tobytes()
+                + meta16.astype("<u2").tobytes()
+                + cfm.astype("<u2").tobytes())
 
     def _commit_state(self, state):
         xprev, xrun, xcf = state
@@ -334,6 +358,29 @@ class Encoder:
         self.band_runbits = xrun.astype(np.int32)
         if xcf is not None:
             self.band_cf = xcf.astype(np.uint64)
+
+
+def _parse_best_sidecar(buf: bytes, ngroups: int):
+    """Inverse of Encoder._best_sidecar -> (kind, val_pos, vrung, cf) flat
+    arrays for _decode_kernel, or None if the sidecar is inconsistent."""
+    from .offsets import KIND_CF, KIND_CF0
+
+    arr = np.frombuffer(buf, dtype="<u2")
+    if arr.size < 2 * ngroups:
+        return None
+    glens = arr[:ngroups].astype(np.int64)
+    meta = arr[ngroups : 2 * ngroups].astype(np.int32)
+    kind = (meta & 7).astype(np.uint8)
+    vrung = (meta >> 3) & 63
+    prefix = (meta >> 9) & 127
+    iscf = (kind == KIND_CF) | (kind == KIND_CF0)
+    if arr.size != 2 * ngroups + int(iscf.sum()):
+        return None
+    cf = np.zeros(ngroups, np.uint64)
+    cf[iscf] = arr[2 * ngroups :].astype(np.uint64) + 2
+    ends = np.cumsum(glens)
+    val_pos = ends - glens + prefix
+    return kind, val_pos, vrung.astype(np.int32), cf
 
 
 # ------------------------------------------------------------------- decoder
@@ -476,6 +523,17 @@ class Decoder:
             img, _ = kern(jnp.asarray(wpad), jnp.asarray(glens),
                           jnp.zeros(nb, dtype=jnp.uint64))
             return np.asarray(img)
+
+        if info.index_best is not None and is_best_mode(info.mode):
+            meta = _parse_best_sidecar(info.index_best, nblocks * nb)
+            if meta is not None:
+                kind, val_pos, vrung, cf = meta
+                kern = _decode_kernel(nblocks, nb, h, w, order, tuple(info.cband),
+                                      True, np.dtype(uns_dt).name, n_words)
+                img, _ = kern(jnp.asarray(wpad), jnp.asarray(kind),
+                              jnp.asarray(val_pos), jnp.asarray(vrung),
+                              jnp.asarray(cf), jnp.zeros(nb, dtype=jnp.uint64))
+                return np.asarray(img)
 
         from . import native
         if native.available():

@@ -26,7 +26,8 @@ def topbit_int(v: int) -> int:
 
 
 def write_headers(xsize: int, ysize: int, nbands: int, dtype: int, mode: int,
-                  cband, quanta: int, order: int, index: bytes | None = None) -> bytes:
+                  cband, quanta: int, order: int, index: bytes | None = None,
+                  index_sig: bytes = b"ix") -> bytes:
     out = bytearray()
     out += b"QB3\x80"
     out += struct.pack("<HHBBB", xsize - 1, ysize - 1, nbands - 1, dtype, mode & 0xFF)
@@ -38,13 +39,14 @@ def write_headers(xsize: int, ysize: int, nbands: int, dtype: int, mode: int,
     if order != ZCURVE and mode != Mode.STORED:
         out += b"SC" + struct.pack("<H", 8) + struct.pack("<Q", order or HILBERT)
     if index:
-        # "ix": our skippable sidecar (lowercase first letter => older readers
-        # ignore it, QB3decode.cpp:251-259): per-group bit lengths, u16le.
-        # NB the reference skips `len` bytes from the chunk *start*
+        # "ix"/"ib": our skippable sidecars (lowercase first letter => older
+        # readers ignore them, QB3decode.cpp:251-259).  "ix": per-group bit
+        # lengths u16le (fast modes); "ib": lengths + decode metadata (best
+        # modes).  NB the reference skips `len` bytes from the chunk *start*
         # (QB3decode.cpp:254-255), so the len field counts the 4 header bytes.
         for pos in range(0, len(index), 65530):
             chunk = index[pos : pos + 65530]
-            out += b"ix" + struct.pack("<H", len(chunk) + 4) + chunk
+            out += index_sig + struct.pack("<H", len(chunk) + 4) + chunk
     out += b"DT"
     return bytes(out)
 
@@ -61,6 +63,7 @@ class StreamInfo:
     cband: list = field(default_factory=list)
     data_offset: int = 0  # byte offset of the DT payload
     index: bytes | None = None  # optional "ix" block-length sidecar
+    index_best: bytes | None = None  # optional "ib" best-mode decode sidecar
 
 
 def parse_headers(stream: bytes) -> StreamInfo:
@@ -78,6 +81,7 @@ def parse_headers(stream: bytes) -> StreamInfo:
     info.cband = list(range(info.nbands))
     pos = 11
     index = bytearray()
+    index_best = bytearray()
     while True:
         if pos + 2 > len(stream):
             raise ValueError("truncated headers")
@@ -107,9 +111,12 @@ def parse_headers(stream: bytes) -> StreamInfo:
             info.order = struct.unpack("<Q", body)[0]
             if not _check_curve(info.order):
                 raise ValueError("bad curve")
-        elif sig == b"ix":
+        elif sig in (b"ix", b"ib"):
             # len counts from the chunk start (see write_headers)
-            index += stream[pos + 4 : pos + ln]
+            if sig == b"ix":
+                index += stream[pos + 4 : pos + ln]
+            else:
+                index_best += stream[pos + 4 : pos + ln]
             pos += ln
             continue
         elif sig[0] & 0x20:
@@ -120,6 +127,8 @@ def parse_headers(stream: bytes) -> StreamInfo:
         pos += 4 + ln
     if index:
         info.index = bytes(index)
+    if index_best:
+        info.index_best = bytes(index_best)
     return info
 
 

@@ -348,5 +348,25 @@ def encode_best_blocks(img, entry_prev, entry_runbits, entry_cf, order: int,
     codes = jnp.concatenate(parts_c, axis=-1)
     lens = jnp.concatenate(parts_l, axis=-1)
     nsym = codes.shape[-1]
+
+    # ---- per-group decode metadata for the "ib" sidecar (offsets.py kinds):
+    # meta16 = kind | vrung << 3 | prefix_len << 9; cfv = resolved CF (cf-2+2)
+    from ..offsets import (KIND_BITS, KIND_CF, KIND_CF0, KIND_IDX, KIND_NORMAL,
+                           KIND_ZERO)
+    is_cf_grp = ~rung0 & ~win & use_cf
+    trung0_m = cfd["trung"] == 0
+    kind = jnp.where(rung0,
+                     jnp.where(bitsused == 1, KIND_BITS, KIND_ZERO),
+           jnp.where(win, KIND_IDX,
+           jnp.where(is_cf_grp,
+                     jnp.where(trung0_m, KIND_CF0, KIND_CF), KIND_NORMAL)))
+    vrung_meta = jnp.where(rung0, 0,
+                 jnp.where(win, rung,
+                 jnp.where(is_cf_grp, cfd["trung"], rung)))
+    prefix_len = s0_len + s1_len + s2_len
+    meta16 = (kind.astype(jnp.int32) | (vrung_meta.astype(jnp.int32) << 3)
+              | (prefix_len << 9))
+    cfv = jnp.where(is_cf_grp, cfd["cfm"], 0)
     return (codes.reshape(-1, nsym), lens.reshape(-1, nsym),
-            exit_prev, exit_runbits, exit_cf)
+            exit_prev, exit_runbits, exit_cf,
+            meta16.reshape(-1), cfv.reshape(-1))

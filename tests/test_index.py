@@ -56,3 +56,74 @@ def test_large_index_multi_chunk():
     np.testing.assert_array_equal(dec, img)
     dec2, _ = refqb3.ref_decode(s)
     np.testing.assert_array_equal(dec2, img)
+
+
+# ---------------------------------------------------------------- "ib" sidecar
+
+@pytest.mark.parametrize("mode", [Mode.CF_H, Mode.CF])
+def test_best_sidecar_roundtrip(mode):
+    img = corpus.natural8(48, 40, 3, seed=130)
+    s = qb3_tpu.encode(img, mode=mode, index=True)
+    from qb3_tpu import container
+    info = container.parse_headers(s)
+    assert info.index_best is not None and info.index is None
+    dec, _ = qb3_tpu.decode(s)
+    np.testing.assert_array_equal(dec, img)
+    # the entropy payload is unchanged by the sidecar
+    plain = qb3_tpu.encode(img, mode=mode)
+    pi = container.parse_headers(plain)
+    assert plain[pi.data_offset:] == s[info.data_offset:]
+    # legacy readers skip the chunk
+    rdec, _ = refqb3.ref_decode(s)
+    np.testing.assert_array_equal(rdec, img)
+
+
+def test_best_sidecar_cf_heavy():
+    # x5 plants a common factor in every group (test_qb3.cpp:675-685)
+    img = corpus.to_type(corpus.natural8(40, 40, 2, seed=131), np.uint16, 5)
+    s = qb3_tpu.encode(img, mode=Mode.CF_H, index=True)
+    dec, _ = qb3_tpu.decode(s)
+    np.testing.assert_array_equal(dec, img)
+
+
+def test_best_sidecar_u64_high_rung():
+    img = corpus.to_type(corpus.natural8(32, 32, 1, seed=132), np.uint64, 1 << 56)
+    s = qb3_tpu.encode(img, mode=Mode.CF_H, index=True)
+    from qb3_tpu import container
+    info = container.parse_headers(s)
+    dec, _ = qb3_tpu.decode(s)
+    np.testing.assert_array_equal(dec, img)
+
+
+def test_best_sidecar_large_cf_falls_back():
+    # CF - 2 > 0xFFFF: no sidecar is written, decode falls back to the walk
+    img = corpus.to_type(corpus.natural8(16, 16, 1, seed=133), np.uint32, 1 << 20)
+    s = qb3_tpu.encode(img, mode=Mode.CF_H, index=True)
+    from qb3_tpu import container
+    info = container.parse_headers(s)
+    assert info.index_best is None
+    dec, _ = qb3_tpu.decode(s)
+    np.testing.assert_array_equal(dec, img)
+
+
+def test_best_sidecar_with_rle():
+    # CF_RLE_H: the sidecar describes the pre-RLE payload
+    img8 = corpus.natural8(40, 40, 1, seed=134)
+    img8[5:30, 5:30] = 77  # constant region -> zero runs for RLE
+    s = qb3_tpu.encode(img8, mode=Mode.CF_RLE_H, index=True)
+    dec, _ = qb3_tpu.decode(s)
+    np.testing.assert_array_equal(dec, img8)
+    rdec, _ = refqb3.ref_decode(s)
+    np.testing.assert_array_equal(rdec, img8)
+
+
+def test_best_sidecar_index_groups():
+    # few-unique data in high rungs exercises the IDX kind in the sidecar
+    rng = np.random.default_rng(135)
+    vals = np.array([0, 1 << 12, 3 << 12, 7 << 12], np.uint16)
+    img = vals[rng.integers(0, 4, size=(32, 32, 1))]
+    s = qb3_tpu.encode(img, mode=Mode.CF_H, index=True)
+    dec, _ = qb3_tpu.decode(s)
+    np.testing.assert_array_equal(dec, img)
+    rdec, _ = refqb3.ref_decode(s)
+    np.testing.assert_array_equal(rdec, img)
