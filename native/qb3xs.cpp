@@ -261,69 +261,74 @@ int64_t qb3xs_parse(const uint8_t* payload, size_t len_bytes, int64_t nblocks,
 }
 
 // ---- RLE0 byte post-pass ----
+//
+// Escape-site-oriented scan: the cursor jumps between escape opportunities
+// (a 0xff pair, or >= 4 zeros not shadowed by a preceding literal 0xff) and
+// everything in between is a plain literal.  The final two input bytes are
+// never the start of an escape.
 
 int64_t qb3xs_rle0_encode(const uint8_t* src, int64_t len, uint8_t* dst) {
-    const uint8_t* end = src + len;
-    uint8_t* d = dst;
-    uint8_t last = 0;
-    while (src < end - 2) {
-        uint8_t c = *src++;
-        if (((uint8_t)(c + 1) & 0xFE) != 0 || c != src[0] ||
-            (!c && (last == 0xFF || (end - src) < 3 || src[1] || src[2]))) {
-            last = *d++ = c;
-            continue;
+    int64_t ip = 0, op = 0;
+    bool lit_ff = false;  // last output byte was a literal 0xff
+    while (ip + 2 < len) {
+        uint8_t b = src[ip];
+        if (b == 0xFF && src[ip + 1] == 0xFF) {
+            dst[op] = dst[op + 1] = dst[op + 2] = 0xFF;
+            op += 3;
+            ip += 2;
+            lit_ff = false;
+        } else if (b == 0 && !lit_ff && ip + 3 < len &&
+                   !(src[ip + 1] | src[ip + 2] | src[ip + 3])) {
+            int64_t run = 4;
+            while (run < 258 && ip + run < len && src[ip + run] == 0) run++;
+            dst[op] = dst[op + 1] = 0xFF;
+            dst[op + 2] = uint8_t(run - 4);
+            op += 3;
+            ip += run;
+            lit_ff = false;
+        } else {
+            dst[op++] = b;
+            lit_ff = (b == 0xFF);
+            ip++;
         }
-        src++;
-        if (c == 0) {
-            src += 2;
-            c = 0;
-            while (c < 0xFE && src < end && *src == 0) { c++; src++; }
-        }
-        last = 0;
-        *d++ = 0xFF;
-        *d++ = 0xFF;
-        *d++ = c;
     }
-    while (src < end) *d++ = *src++;
-    return d - dst;
+    if (ip < len) {
+        memcpy(dst + op, src + ip, size_t(len - ip));
+        op += len - ip;
+    }
+    return op;
 }
 
 int64_t qb3xs_rle0_decode(const uint8_t* src, int64_t slen, uint8_t* dst, int64_t dlen) {
-    const uint8_t* end = src + slen;
-    uint8_t* d = dst;
-    const uint8_t* last = dst + dlen;
-    while (d < last && src < end - 2) {
-        uint8_t c = *src++;
-        if (c != 0xFF || src[0] != 0xFF) {
-            *d++ = c;
+    int64_t ip = 0, op = 0;
+    while (ip + 2 < slen && op < dlen) {
+        if (src[ip] != 0xFF || src[ip + 1] != 0xFF) {
+            dst[op++] = src[ip++];
             continue;
         }
-        int64_t count;
-        uint8_t fill;
-        if (src[1] != 0xFF) { count = 4 + src[1]; fill = 0; }
-        else { count = 2; fill = 0xFF; }
-        if (last - d < count) return -1;
-        src += 2;
-        while (count--) *d++ = fill;
+        bool pair = src[ip + 2] == 0xFF;
+        int64_t run = pair ? 2 : 4 + int64_t(src[ip + 2]);
+        if (op + run > dlen) return -1;
+        memset(dst + op, pair ? 0xFF : 0, size_t(run));
+        op += run;
+        ip += 3;
     }
-    while (src < end && d < last) *d++ = *src++;
-    if (src != end || d != last) return -1;
-    return d - dst;
+    while (ip < slen && op < dlen) dst[op++] = src[ip++];
+    return (ip == slen && op == dlen) ? op : -1;
 }
 
 int64_t qb3xs_rle0_size(const uint8_t* src, int64_t len) {
-    const uint8_t* end = src + len;
-    int64_t count = 0;
-    while (src < end - 2) {
-        if (src[0] != 0xFF || src[1] != 0xFF) {
-            count++;
-            src++;
-            continue;
+    int64_t ip = 0, total = 0;
+    while (ip + 2 < len) {
+        if (src[ip] != 0xFF || src[ip + 1] != 0xFF) {
+            total++;
+            ip++;
+        } else {
+            total += (src[ip + 2] == 0xFF) ? 2 : 4 + int64_t(src[ip + 2]);
+            ip += 3;
         }
-        count += (src[2] == 0xFF) ? 2 : (4 + int64_t(src[2]));
-        src += 3;
     }
-    return count + (end - src);
+    return total + (len - ip);
 }
 
 }  // extern "C"

@@ -78,7 +78,8 @@ def parse_offsets_native(payload: bytes, nblocks: int, nbands: int, tsize: int,
 
 def rle0_encode(data: bytes) -> bytes:
     src = np.frombuffer(data, np.uint8)
-    dst = np.zeros(len(data) + 16, np.uint8)
+    # worst case expands 3/2 (every 0xff pair becomes a triple)
+    dst = np.zeros(len(data) * 3 // 2 + 16, np.uint8)
     n = LIB.qb3xs_rle0_encode(src.ctypes.data, len(data), dst.ctypes.data)
     return dst[:n].tobytes()
 
