@@ -151,10 +151,11 @@ def _fast_kernel(shape, npdtype, order, cband, skipstep, n_words):
     maxbits = group_bits_bound(np.dtype(npdtype).itemsize * 8, best=False)
 
     def run(img, entry_prev, entry_runbits):
-        codes, lens, exit_prev, exit_runbits = encode_fast_blocks(
-            img, entry_prev, entry_runbits, order, cband, skipstep)
+        codes, lens, exit_prev, exit_runbits, rung = encode_fast_blocks(
+            img, entry_prev, entry_runbits, order, cband, skipstep,
+            with_rungs=True)
         words, total, glen = pack_groups_auto(codes, lens, n_words, maxbits)
-        return words, total, exit_prev, exit_runbits, glen
+        return words, total, exit_prev, exit_runbits, glen, rung
 
     return jax.jit(run)
 
@@ -194,8 +195,12 @@ class Encoder:
         self.stride = 0
         self.cband = default_cband(bands)
         self.error = Error.OK
-        self.with_index = False  # emit the "ix"/"ib" decode sidecar chunk
+        # decode-sidecar chunk selection: False, True/"ix" (per-group bit
+        # lengths; "ib" for best modes), or "ic" (chunked anchors, ~1%)
+        self.with_index = False
+        self.index_chunk_blocks = 0  # 0 = IC_DEFAULT_K
         self._last_glens = None
+        self._last_rungs = None
         self._last_best_meta = None
         self.reset()
 
@@ -277,11 +282,14 @@ class Encoder:
         if self.xsize < B or self.ysize < B:
             uns = repack_small(uns)
 
+        entry_runbits = self.band_runbits.copy()
         payload, state = self._encode_payload(uns, mode)
         index, index_sig = None, b"ix"
         if self.with_index:
             if is_best_mode(mode):
                 index, index_sig = self._best_sidecar(), b"ib"
+            elif self.with_index == "ic":
+                index, index_sig = self._chunked_sidecar(entry_runbits), b"ic"
             else:
                 index = self._last_glens.astype("<u2").tobytes()
         header = container.write_headers(
@@ -315,11 +323,12 @@ class Encoder:
         if is_fast_mode(mode):
             kern = _fast_kernel((h, w, nb), uns.dtype.name, order,
                                 tuple(self.cband), mode == Mode.FTL, n_words)
-            words, total, xprev, xrun, glen = kern(
+            words, total, xprev, xrun, glen, rung = kern(
                 jnp.asarray(uns),
                 jnp.asarray(self.band_prev.astype(uns.dtype)),
                 jnp.asarray(self.band_runbits))
             state = (np.asarray(xprev), np.asarray(xrun), None)
+            self._last_rungs = np.asarray(rung)
         elif is_best_mode(mode):
             kern = _best_kernel((h, w, nb), uns.dtype.name, order,
                                 tuple(self.cband), n_words)
@@ -351,6 +360,18 @@ class Encoder:
         return (self._last_glens.astype("<u2").tobytes()
                 + meta16.astype("<u2").tobytes()
                 + cfm.astype("<u2").tobytes())
+
+    def _chunked_sidecar(self, entry_runbits: np.ndarray) -> bytes | None:
+        """"ic" chunk payload: per-chunk bit spans + entry rung state
+        (decode_chunked.py docstring has the format)."""
+        from .ops.decode_chunked import IC_DEFAULT_K, chunk_spans, pack_ic
+
+        k = self.index_chunk_blocks or IC_DEFAULT_K
+        spans, entry = chunk_spans(self._last_glens.astype(np.int64),
+                                   self._last_rungs, entry_runbits, k)
+        if int(spans.sum()) >= 1 << 31:
+            return None  # int32 bit cursors in the device walk
+        return pack_ic(spans, entry, k)
 
     def _commit_state(self, state):
         xprev, xrun, xcf = state
@@ -420,6 +441,26 @@ def _decode_kernel_indexed(nblocks, nbands, h, w, order, cband, apply_step, npdt
                                  apply_step, has_extended=False)
         g = g.reshape(nblocks, nbands, B2)
         img, exit_prev = reconstruct(g, entry_prev, h, w, nbands, order, cband, out_dtype)
+        return img, exit_prev
+
+    return jax.jit(run)
+
+
+@functools.lru_cache(maxsize=64)
+def _decode_kernel_chunked(nblocks, nbands, h, w, order, cband, apply_step,
+                           npdtype, n_words, k_blocks):
+    from .ops.decode import reconstruct
+    from .ops.decode_chunked import decode_chunked
+
+    out_dtype = np.dtype(npdtype)
+    tbits = out_dtype.itemsize * 8
+
+    def run(words64, starts, entry_rungs, entry_prev):
+        g = decode_chunked(words64, starts, entry_rungs, k_blocks, nblocks,
+                           nbands, apply_step, tbits)
+        g = g.reshape(nblocks, nbands, B2)
+        img, exit_prev = reconstruct(g, entry_prev, h, w, nbands, order,
+                                     cband, out_dtype)
         return img, exit_prev
 
     return jax.jit(run)
@@ -508,6 +549,20 @@ class Decoder:
         n_words = 1 << max(4, int(np.ceil(np.log2(len(words)))))
         wpad = np.zeros(n_words, np.uint64)
         wpad[: len(words)] = words
+
+        if info.index_chunked is not None and is_fast_mode(info.mode):
+            from .ops.decode_chunked import parse_ic
+            meta = parse_ic(info.index_chunked, nblocks, nb)
+            if meta is not None:
+                k, starts, entry = meta
+                kern = _decode_kernel_chunked(
+                    nblocks, nb, h, w, order, tuple(info.cband),
+                    info.mode != Mode.FTL, np.dtype(uns_dt).name, n_words, k)
+                img, _ = kern(jnp.asarray(wpad),
+                              jnp.asarray(starts.astype(np.int32)),
+                              jnp.asarray(entry),
+                              jnp.zeros(nb, dtype=jnp.uint64))
+                return np.asarray(img)
 
         glens = None
         if info.index is not None and is_fast_mode(info.mode):

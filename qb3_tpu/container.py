@@ -64,6 +64,7 @@ class StreamInfo:
     data_offset: int = 0  # byte offset of the DT payload
     index: bytes | None = None  # optional "ix" block-length sidecar
     index_best: bytes | None = None  # optional "ib" best-mode decode sidecar
+    index_chunked: bytes | None = None  # optional "ic" chunk-anchor sidecar
 
 
 def parse_headers(stream: bytes) -> StreamInfo:
@@ -82,6 +83,7 @@ def parse_headers(stream: bytes) -> StreamInfo:
     pos = 11
     index = bytearray()
     index_best = bytearray()
+    index_chunked = bytearray()
     while True:
         if pos + 2 > len(stream):
             raise ValueError("truncated headers")
@@ -111,12 +113,14 @@ def parse_headers(stream: bytes) -> StreamInfo:
             info.order = struct.unpack("<Q", body)[0]
             if not _check_curve(info.order):
                 raise ValueError("bad curve")
-        elif sig in (b"ix", b"ib"):
+        elif sig in (b"ix", b"ib", b"ic"):
             # len counts from the chunk start (see write_headers)
             if sig == b"ix":
                 index += stream[pos + 4 : pos + ln]
-            else:
+            elif sig == b"ib":
                 index_best += stream[pos + 4 : pos + ln]
+            else:
+                index_chunked += stream[pos + 4 : pos + ln]
             pos += ln
             continue
         elif sig[0] & 0x20:
@@ -129,6 +133,8 @@ def parse_headers(stream: bytes) -> StreamInfo:
         info.index = bytes(index)
     if index_best:
         info.index_best = bytes(index_best)
+    if index_chunked:
+        info.index_chunked = bytes(index_chunked)
     return info
 
 

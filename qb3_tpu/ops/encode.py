@@ -283,11 +283,14 @@ def fast_symbols(m, bitsused, rung, oldrung, ubits: int, skipstep: bool):
 
 
 def encode_fast_blocks(img, entry_prev, entry_runbits, order: int,
-                       cband: tuple[int, ...], skipstep: bool):
+                       cband: tuple[int, ...], skipstep: bool,
+                       with_rungs: bool = False):
     """Full phase-A for the fast encoder on one image.
 
     img: (H, W, C) unsigned; returns (codes, lens, exit_prev, exit_runbits)
     with codes/lens flattened to (nsymbols,) in stream order.
+    with_rungs=True appends the per-block rung tensor (nblocks, C) int32 —
+    the running runbits state, needed by the "ic" chunked-index sidecar.
     """
     ubits = ubits_for(img.dtype.itemsize)
     vals = gather_blocks(img, order, cband)
@@ -295,5 +298,8 @@ def encode_fast_blocks(img, entry_prev, entry_runbits, order: int,
     bitsused, rung, oldrung, exit_runbits = block_rungs(m, entry_runbits)
     codes, lens = fast_symbols(m, bitsused, rung, oldrung, ubits, skipstep)
     nsym = codes.shape[-1]
-    return (codes.reshape(-1, nsym), lens.reshape(-1, nsym),
-            exit_prev, exit_runbits)
+    out = (codes.reshape(-1, nsym), lens.reshape(-1, nsym),
+           exit_prev, exit_runbits)
+    if with_rungs:
+        out = out + (rung,)
+    return out
