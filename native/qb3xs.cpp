@@ -85,7 +85,10 @@ enum Kind : uint8_t { K_NORMAL = 0, K_ZERO, K_BITS, K_CF, K_CF0, K_IDX };
 extern "C" {
 
 // Walk the stream; fills (nblocks*nbands)-sized arrays in stream order.
-// Returns the final bit position, or a negative error code.
+// Returns the final bit position, or, when the stream fails one of the
+// reference's corruption checks (QB3decode.h:642,:665,:683,:703), the
+// negative value -(failed_group + 1); remaining groups are marked all-zero
+// so the caller can still produce the reference's partial output.
 int64_t qb3xs_parse(const uint8_t* payload, size_t len_bytes, int64_t nblocks,
                     int nbands, int tsize, int is_ftl, const int32_t* entry_runbits,
                     const uint64_t* entry_cf, uint8_t* kind, int64_t* val_pos,
@@ -96,7 +99,6 @@ int64_t qb3xs_parse(const uint8_t* payload, size_t len_bytes, int64_t nblocks,
     const uint16_t* dsw = DSW_T[u];
     const int maxbits = 8 * tsize;
     const uint64_t tmask = maxbits == 64 ? ~0ull : ((1ull << maxbits) - 1);
-    const int64_t endbit = int64_t(len_bytes) * 8;
 
     int32_t runbits[256];
     uint64_t pcf[256];
@@ -106,10 +108,11 @@ int64_t qb3xs_parse(const uint8_t* payload, size_t len_bytes, int64_t nblocks,
     }
 
     Bits s{payload, len_bytes};
+    const int64_t n_total = nblocks * nbands;
+    bool failed = false;
     int64_t gi = 0;
-    for (int64_t b = 0; b < nblocks; b++) {
-        for (int c = 0; c < nbands; c++, gi++) {
-            if (s.pos > endbit) return -2;  // overrun
+    for (int64_t b = 0; b < nblocks && !failed; b++) {
+        for (int c = 0; c < nbands && !failed; c++, gi++) {
             uint64_t w = s.peek();
             int cs_len = 1, delta = 0;
             if (w & 1) {
@@ -165,10 +168,10 @@ int64_t qb3xs_parse(const uint8_t* payload, size_t len_bytes, int64_t nblocks,
                         uint16_t e3 = dsw[s.peek() & lmask];
                         cfrung = (rung + (e3 & TBL)) & nmask;
                         s.pos += (e3 >> 12) - 1;
+                        failed |= cfrung == rung;  // QB3decode.h:665
                     }
                     int ln; uint64_t v;
                     dec_single(s.peek(), cfrung - own, &ln, &v);
-                    if (ln > 64) return -3;
                     s.pos += ln;
                     pcf[c] = v + (own ? (1ull << cfrung) : 0);
                 }
@@ -224,6 +227,7 @@ int64_t qb3xs_parse(const uint8_t* payload, size_t len_bytes, int64_t nblocks,
                         uint64_t mm = (((v >> 1) + (v & 1)) * (cf << 1) - (v & 1)) & tmask;
                         used |= v ? mm : 0;
                     }
+                    failed |= cf > used;  // QB3decode.h:683
                     int tb = 63;
                     used |= 1;
                     while (tb && !((used >> tb) & 1)) tb--;
@@ -240,23 +244,31 @@ int64_t qb3xs_parse(const uint8_t* payload, size_t len_bytes, int64_t nblocks,
                 rung_out[gi] = rung;
                 cf_out[gi] = 0;
                 val_pos[gi] = s.pos;
+                failed |= rung == 63;  // QB3decode.h:703 (u64 overflow guard)
                 int maxidx = 0;
+                int idx_bits = 0;
                 for (int i = 0; i < B2; i++) {
                     uint16_t e = IDXD[s.peek() & 0xF];
                     s.pos += e >> 12;
+                    idx_bits += e >> 12;
                     int v = e & TBL;
                     if (v > maxidx) maxidx = v;
                 }
+                // max valid index section is 52 bits (QB3decode.h:707-713)
+                failed |= idx_bits > 52;
                 for (int i = 0; i <= maxidx; i++) {
                     int ln; uint64_t v;
                     dec_single(s.peek(), rung, &ln, &v);
-                    if (ln > 64) return -4;
                     s.pos += ln;
                 }
             }
         }
     }
-    if (s.pos > endbit) return -2;
+    if (failed) {
+        // gi was incremented past the failing group by the loop header
+        for (int64_t i = gi; i < n_total; i++) kind[i] = K_ZERO;
+        return -gi;  // failed_group = gi - 1
+    }
     return s.pos;
 }
 

@@ -22,6 +22,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from . import container, rle
+from .errors import QB3DataError, QB3HeaderError
 from .constants import (
     B,
     B2,
@@ -482,12 +483,20 @@ def _decode_kernel(nblocks, nbands, h, w, order, cband, apply_step, npdtype, n_w
 
 
 class Decoder:
-    """Mirror of the 3-stage decsp reader (QB3decode.cpp:130-264)."""
+    """Mirror of the 3-stage decsp reader (QB3decode.cpp:130-264).
+
+    After read_data: `decode_path` records which decode engine ran
+    ("stored", "ic", "ix", "ib", "native-walk", "python-walk") so callers
+    can observe sidecar fallbacks; `failed` mirrors the reference's decode
+    failure flag when read_data(partial=True) returned best-effort output.
+    """
 
     def __init__(self, stream: bytes):
         self.stream = stream
         self.info = container.parse_headers(stream)  # read_start + read_info
         self.stride = 0
+        self.failed = False
+        self.decode_path = None
 
     @property
     def image_size(self):
@@ -500,8 +509,14 @@ class Decoder:
     def set_stride(self, stride: int):
         self.stride = stride
 
-    def read_data(self) -> np.ndarray:
-        """qb3_read_data -> (H, W, C) array in the stream's dtype."""
+    def read_data(self, partial: bool = False) -> np.ndarray:
+        """qb3_read_data -> (H, W, C) array in the stream's dtype.
+
+        On payload corruption, raises QB3DataError by default; with
+        partial=True it instead sets `self.failed` and returns the
+        best-effort output, mirroring the reference's qb3_read_data (returns
+        0 but leaves partial data in the destination, QB3decode.h:713-716).
+        """
         info = self.info
         np_dt = NP_FROM_DT[DType(info.dtype)]
         uns_dt = UNSIGNED[np.dtype(np_dt).itemsize]
@@ -509,18 +524,20 @@ class Decoder:
         h, w, nb = info.ysize, info.xsize, info.nbands
 
         if info.mode == Mode.STORED:
+            self.decode_path = "stored"
             if len(data) != self.decoded_size():
-                raise ValueError("stored payload size mismatch")
+                raise QB3DataError("stored payload size mismatch")
             out = np.frombuffer(data, dtype=np_dt).reshape(h, w, nb).copy()
             return self._finish(out)
 
         if h * w < B2:
-            raise ValueError("tiny images must be stored")
+            raise QB3HeaderError("tiny images must be stored")
 
         if needs_rle(info.mode):
             expected = rle.rle0_decoded_size(data)
             if expected > self.decoded_size():
-                raise ValueError("RLE expansion exceeds image size")
+                # malicious-input guard (QB3decode.cpp:399-404)
+                raise QB3DataError("RLE expansion exceeds image size")
             data = rle.rle0_decode(data, expected)
 
         dh, dw = h, w
@@ -528,7 +545,13 @@ class Decoder:
             ngroups = (h * w + B2 - 1) // B2
             dw, dh = (B, ngroups * B) if w < B else (ngroups * B, B)
 
-        uns = self._decode_core(data, dh, dw, nb, uns_dt)
+        try:
+            uns = self._decode_core(data, dh, dw, nb, uns_dt)
+        except QB3DataError as e:
+            if not partial or e.partial is None:
+                raise
+            self.failed = True
+            uns = e.partial
         if (dh, dw) != (h, w):
             uns = unpack_small(uns, h, w, nb)
         out = uns.view(np_dt)
@@ -554,7 +577,7 @@ class Decoder:
             from .ops.decode_chunked import parse_ic
             meta = parse_ic(info.index_chunked, nblocks, nb)
             if meta is not None:
-                k, starts, entry = meta
+                k, starts, entry, total = meta
                 kern = _decode_kernel_chunked(
                     nblocks, nb, h, w, order, tuple(info.cband),
                     info.mode != Mode.FTL, np.dtype(uns_dt).name, n_words, k)
@@ -562,7 +585,8 @@ class Decoder:
                               jnp.asarray(starts.astype(np.int32)),
                               jnp.asarray(entry),
                               jnp.zeros(nb, dtype=jnp.uint64))
-                return np.asarray(img)
+                self.decode_path = "ic"
+                return self._end_check(np.asarray(img), len(data) * 8 - total)
 
         glens = None
         if info.index is not None and is_fast_mode(info.mode):
@@ -577,7 +601,9 @@ class Decoder:
                 info.mode != Mode.FTL, np.dtype(uns_dt).name, n_words, R)
             img, _ = kern(jnp.asarray(wpad), jnp.asarray(glens),
                           jnp.zeros(nb, dtype=jnp.uint64))
-            return np.asarray(img)
+            self.decode_path = "ix"
+            return self._end_check(np.asarray(img),
+                                   len(data) * 8 - int(glens.sum()))
 
         if info.index_best is not None and is_best_mode(info.mode):
             meta = _parse_best_sidecar(info.index_best, nblocks * nb)
@@ -588,15 +614,20 @@ class Decoder:
                 img, _ = kern(jnp.asarray(wpad), jnp.asarray(kind),
                               jnp.asarray(val_pos), jnp.asarray(vrung),
                               jnp.asarray(cf), jnp.zeros(nb, dtype=jnp.uint64))
-                return np.asarray(img)
+                arr = np.frombuffer(info.index_best, dtype="<u2")
+                total = int(arr[: nblocks * nb].astype(np.int64).sum())
+                self.decode_path = "ib"
+                return self._end_check(np.asarray(img), len(data) * 8 - total)
 
         from . import native
         if native.available():
             meta = native.parse_offsets_native(
                 data, nblocks, nb, np.dtype(uns_dt).itemsize,
                 info.mode == Mode.FTL)
+            self.decode_path = "native-walk"
         else:
             meta = parse_offsets(data, nblocks, nb, np.dtype(uns_dt).itemsize, info.mode)
+            self.decode_path = "python-walk"
         kern = _decode_kernel(nblocks, nb, h, w, order, tuple(info.cband),
                               info.mode != Mode.FTL, np.dtype(uns_dt).name, n_words)
         img, _ = kern(
@@ -607,7 +638,18 @@ class Decoder:
             jnp.asarray(meta["cf"].reshape(-1)),
             jnp.zeros(nb, dtype=jnp.uint64),
         )
-        return np.asarray(img)
+        img = np.asarray(img)
+        if meta.get("failed"):
+            raise QB3DataError(
+                f"corrupt stream (group {meta['failed_group']})", partial=img)
+        return self._end_check(img, len(data) * 8 - meta["end_pos"])
+
+    def _end_check(self, img: np.ndarray, leftover: int) -> np.ndarray:
+        """The reference end-of-stream rule: >7 bits of extra input fail
+        (QB3decode.h:411, :744); truncated input decodes as zeros."""
+        if leftover > 7:
+            raise QB3DataError(f"{leftover} leftover bits", partial=img)
+        return img
 
     def _finish(self, out: np.ndarray) -> np.ndarray:
         if self.stride:

@@ -16,6 +16,7 @@ import numpy as np
 
 from . import container
 from .api import DT_FROM_NP, NP_FROM_DT, UNSIGNED, default_cband, max_encoded_size
+from .errors import QB3ShapeError
 from .constants import B, HILBERT, B2, DType, Mode, ubits_for
 
 
@@ -75,9 +76,11 @@ def encode_tiles(imgs: np.ndarray, mode: int = Mode.FTL, coreband=None,
     FTL/BASE only (the batch path targets throughput serving); each tile's
     stream is byte-identical to a standalone encode.
     """
-    assert imgs.ndim == 4
+    if imgs.ndim != 4:
+        raise QB3ShapeError("expected (N, H, W, C) tiles")
     n, h, w, nb = imgs.shape
-    assert mode in (Mode.FTL, Mode.BASE_H, Mode.BASE_Z) and h >= B and w >= B
+    if mode not in (Mode.FTL, Mode.BASE_H, Mode.BASE_Z) or h < B or w < B:
+        raise QB3ShapeError("batch encode supports FTL/BASE tiles >= 4x4")
     dt = DT_FROM_NP[imgs.dtype]
     cband = tuple(coreband) if coreband is not None else tuple(default_cband(nb))
     order = 0x0145236789CDABEF if mode == Mode.BASE_Z else HILBERT
@@ -91,7 +94,6 @@ def encode_tiles(imgs: np.ndarray, mode: int = Mode.FTL, coreband=None,
     glens = np.asarray(glens)
     from .ops.bitpack import words_to_bytes
     out = []
-    write_order = 0 if mode == Mode.BASE_Z else 0  # ZCURVE implied by mode
     for i in range(n):
         idx = glens[i].astype("<u2").tobytes() if index else None
         hdr = container.write_headers(
@@ -107,12 +109,14 @@ def decode_tiles(streams: list[bytes]) -> np.ndarray:
 
     infos = [container.parse_headers(s) for s in streams]
     i0 = infos[0]
-    assert all(
-        (i.xsize, i.ysize, i.nbands, i.dtype, i.mode) ==
-        (i0.xsize, i0.ysize, i0.nbands, i0.dtype, i0.mode) for i in infos)
-    assert all(i.index is not None for i in infos), "batch decode needs the ix sidecar"
+    if any((i.xsize, i.ysize, i.nbands, i.dtype, i.mode) !=
+           (i0.xsize, i0.ysize, i0.nbands, i0.dtype, i0.mode) for i in infos):
+        raise QB3ShapeError("batch decode requires same-shape streams")
+    if any(i.index is None for i in infos):
+        raise QB3ShapeError("batch decode needs the ix sidecar")
     h, w, nb = i0.ysize, i0.xsize, i0.nbands
-    assert h % B == 0 and w % B == 0
+    if h % B != 0 or w % B != 0:
+        raise QB3ShapeError("batch decode requires 4-aligned tiles")
     np_dt = NP_FROM_DT[DType(i0.dtype)]
     uns_dt = UNSIGNED[np.dtype(np_dt).itemsize]
     nblocks = (h // B) * (w // B)

@@ -19,6 +19,7 @@ import struct
 from dataclasses import dataclass, field
 
 from .constants import HILBERT, ZCURVE, Mode
+from .errors import QB3HeaderError
 
 
 def topbit_int(v: int) -> int:
@@ -70,13 +71,13 @@ class StreamInfo:
 def parse_headers(stream: bytes) -> StreamInfo:
     """3-stage reader collapsed to one host parse (QB3decode.cpp:130-264)."""
     if len(stream) < 11 + 4 or stream[:4] != b"QB3\x80":
-        raise ValueError("not a QB3 stream")
+        raise QB3HeaderError("not a QB3 stream")
     xm, ym, bm, dt, mode = struct.unpack("<HHBBB", stream[4:11])
     info = StreamInfo(xsize=xm + 1, ysize=ym + 1, nbands=bm + 1, dtype=dt, mode=mode)
     if info.nbands > 256 or dt > 7:
-        raise ValueError("invalid header")
+        raise QB3HeaderError("invalid header")
     if mode >= Mode.END and mode != Mode.STORED:
-        raise ValueError("invalid mode")
+        raise QB3HeaderError("invalid mode")
     if mode in (Mode.BASE_Z, Mode.CF, Mode.CF_RLE, Mode.RLE):
         info.order = ZCURVE
     info.cband = list(range(info.nbands))
@@ -86,33 +87,33 @@ def parse_headers(stream: bytes) -> StreamInfo:
     index_chunked = bytearray()
     while True:
         if pos + 2 > len(stream):
-            raise ValueError("truncated headers")
+            raise QB3HeaderError("truncated headers")
         sig = stream[pos : pos + 2]
         if sig == b"DT":
             info.data_offset = pos + 2
             break
         if pos + 4 > len(stream):
-            raise ValueError("truncated chunk")
+            raise QB3HeaderError("truncated chunk")
         (ln,) = struct.unpack("<H", stream[pos + 2 : pos + 4])
         body = stream[pos + 4 : pos + 4 + ln]
         if sig == b"QV":
             if not 1 <= ln <= 4 or len(body) != ln:
-                raise ValueError("bad QV chunk")
+                raise QB3HeaderError("bad QV chunk")
             info.quanta = int.from_bytes(body, "little")
             if info.quanta < 2:
-                raise ValueError("bad quanta")
+                raise QB3HeaderError("bad quanta")
         elif sig == b"CB":
             if ln != info.nbands:
-                raise ValueError("bad CB chunk")
+                raise QB3HeaderError("bad CB chunk")
             info.cband = list(body)
             if any(c >= info.nbands for c in info.cband):
-                raise ValueError("bad core band")
+                raise QB3HeaderError("bad core band")
         elif sig == b"SC":
             if ln != 8:
-                raise ValueError("bad SC chunk")
+                raise QB3HeaderError("bad SC chunk")
             info.order = struct.unpack("<Q", body)[0]
             if not _check_curve(info.order):
-                raise ValueError("bad curve")
+                raise QB3HeaderError("bad curve")
         elif sig in (b"ix", b"ib", b"ic"):
             # len counts from the chunk start (see write_headers)
             if sig == b"ix":
@@ -127,7 +128,7 @@ def parse_headers(stream: bytes) -> StreamInfo:
             pos += ln  # skippable: len counts from the chunk start
             continue
         else:
-            raise ValueError(f"unknown chunk {sig!r}")
+            raise QB3HeaderError(f"unknown chunk {sig!r}")
         pos += 4 + ln
     if index:
         info.index = bytes(index)

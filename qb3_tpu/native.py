@@ -68,12 +68,12 @@ def parse_offsets_native(payload: bytes, nblocks: int, nbands: int, tsize: int,
         ecf.ctypes.data if ecf is not None else None,
         kind.ctypes.data, val_pos.ctypes.data, vrung.ctypes.data,
         cf.ctypes.data, rung.ctypes.data)
-    if end < 0:
-        raise ValueError(f"qb3xs_parse error {end}")
+    failed = end < 0  # -(failed_group + 1); remaining kinds already zeroed
     shape = (nblocks, nbands)
     return dict(kind=kind.reshape(shape), val_pos=val_pos.reshape(shape),
                 vrung=vrung.reshape(shape), cf=cf.reshape(shape),
-                rung=rung.reshape(shape), end_pos=int(end))
+                rung=rung.reshape(shape), end_pos=0 if failed else int(end),
+                failed=failed, failed_group=int(-end - 1) if failed else -1)
 
 
 def rle0_encode(data: bytes) -> bytes:

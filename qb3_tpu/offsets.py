@@ -68,7 +68,14 @@ class _Bits:
 
 def parse_offsets(payload: bytes, nblocks: int, nbands: int, tsize: int,
                   mode: int, entry_runbits=None, entry_cf=None):
-    """Walk the stream; returns dict of (nblocks, nbands) numpy arrays."""
+    """Walk the stream; returns dict of (nblocks, nbands) numpy arrays.
+
+    Corruption is reported, not raised, mirroring the reference's `failed`
+    accumulation (QB3decode.h:642,:665,:683,:703): the walk stops at the
+    first impossible state, marks the remaining groups all-zero (partial
+    output), and sets `failed`/`failed_group` in the result.  The caller
+    applies the reference's end-of-stream rule (>7 leftover bits fail,
+    QB3decode.h:411,:744; truncated input reads as zeros and is accepted)."""
     u = ubits_for(tsize)
     nmask = (1 << u) - 1
     lmask = (1 << (u + 1)) - 1
@@ -126,8 +133,12 @@ def parse_offsets(payload: bytes, nblocks: int, nbands: int, tsize: int,
                 out.append(v)
         return out
 
+    failed = False
+    failed_group = -1
     for b in range(nblocks):
         for c in range(nbands):
+            if failed:
+                break
             w = s.peek()
             if w & 1:
                 cs_len, delta = dsw[(w >> 1) & lmask]
@@ -173,9 +184,8 @@ def parse_offsets(payload: bytes, nblocks: int, nbands: int, tsize: int,
                         l3, d3 = dsw[s.peek() & lmask]
                         cfrung = (rung + d3) & nmask
                         s.pos += l3 - 1
+                        failed |= cfrung == rung  # QB3decode.h:665
                     ln, v = _dec_single(s.peek(), cfrung - (1 if own else 0))
-                    if ln > 64:
-                        raise ValueError("cf code overflow")
                     s.pos += ln
                     pcf[c] = v + ((1 << cfrung) if own else 0)
                 cf = pcf[c] + 2
@@ -202,6 +212,7 @@ def parse_offsets(payload: bytes, nblocks: int, nbands: int, tsize: int,
                     for v in vals:
                         used |= ((v >> 1) + (v & 1)) * (cf << 1) - (v & 1) if v else 0
                     used &= (1 << maxbits) - 1
+                    failed |= cf > used  # QB3decode.h:683
                     runbits[c] = max((used | 1).bit_length() - 1, 0)
                 rung_arr[b, c] = runbits[c]
             else:  # index group
@@ -213,22 +224,27 @@ def parse_offsets(payload: bytes, nblocks: int, nbands: int, tsize: int,
                 vrung[b, c] = rung
                 rung_arr[b, c] = rung
                 val_pos[b, c] = s.pos
+                failed |= rung == 63  # QB3decode.h:703 (u64 overflow guard)
                 maxidx = 0
+                idx_bits = 0
                 for _ in range(B2):
                     ln, v = _IDX_DEC[s.peek() & 0xF]
                     s.pos += ln
+                    idx_bits += ln
                     maxidx = max(maxidx, v)
+                # max valid index section is 52 bits (QB3decode.h:707-713)
+                failed |= idx_bits > 52
                 for _ in range(maxidx + 1):
                     ln, _v = _dec_single(s.peek(), rung)
-                    if ln > 64:
-                        raise ValueError("unique code overflow")
                     s.pos += ln
-    if s.pos > 8 * len(payload):
-        raise ValueError("stream overrun")
-    if 8 * len(payload) - s.pos > 7 + 8:  # last byte partial + RLE slack
-        # the reference flags >7 leftover bits (QB3decode.h:411); we allow a
-        # little slack because callers may pass padded buffers
-        pass
+            if failed:
+                failed_group = b * nbands + c
+        if failed:
+            break
+    if failed:
+        # best-effort partial output: remaining groups decode as zeros
+        kind.reshape(-1)[failed_group + 1:] = KIND_ZERO
     return dict(kind=kind, val_pos=val_pos, vrung=vrung, cf=cf_arr, rung=rung_arr,
-                end_pos=s.pos, exit_runbits=np.array(runbits, np.int32),
+                end_pos=s.pos, failed=failed, failed_group=failed_group,
+                exit_runbits=np.array(runbits, np.int32),
                 exit_cf=np.array(pcf, np.uint64))

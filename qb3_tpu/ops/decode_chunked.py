@@ -41,7 +41,7 @@ def pack_ic(spans: np.ndarray, entry: np.ndarray, k_blocks: int) -> bytes:
 
 def parse_ic(buf: bytes, nblocks: int, nbands: int):
     """Inverse of pack_ic -> (k_blocks, starts int64 (nchunks,),
-    entry (nchunks, nbands) int32), or None if inconsistent."""
+    entry (nchunks, nbands) int32, total_bits), or None if inconsistent."""
     if len(buf) < 2:
         return None
     k = int.from_bytes(buf[:2], "little")
@@ -57,7 +57,7 @@ def parse_ic(buf: bytes, nblocks: int, nbands: int):
     starts = ends - spans
     if ends[-1] >= 1 << 31:  # int32 bit cursors in the device walk
         return None
-    return k, starts, entry.astype(np.int32)
+    return k, starts, entry.astype(np.int32), int(ends[-1])
 
 
 def chunk_spans(glens: np.ndarray, rungs: np.ndarray, entry_runbits: np.ndarray,

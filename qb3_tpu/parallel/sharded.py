@@ -26,6 +26,7 @@ import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
+from ..errors import QB3ShapeError
 from ..constants import B, HILBERT, ubits_for
 from ..ops.bitpack import group_bits_bound, pack_groups
 from ..ops.encode import block_rungs, delta_mags, fast_symbols, gather_blocks
@@ -81,7 +82,8 @@ def encode_fast_sharded(img: np.ndarray, n_dev: int, order: int = HILBERT,
     single-device stream.
     """
     h, w, nb = img.shape
-    assert h % (B * n_dev) == 0, "height must split into whole block rows"
+    if h % (B * n_dev) != 0:
+        raise QB3ShapeError("height must split into whole block rows per device")
     if cband is None:
         cband = tuple(range(nb))
     from ..api import max_encoded_size, DT_FROM_NP
@@ -177,9 +179,11 @@ def decode_fast_sharded(stream: bytes, n_dev: int) -> np.ndarray:
     from ..ops.decode import payload_words
 
     info = container.parse_headers(stream)
-    assert info.index is not None and info.mode in (Mode.FTL, Mode.BASE_H, Mode.BASE_Z)
+    if info.index is None or info.mode not in (Mode.FTL, Mode.BASE_H, Mode.BASE_Z):
+        raise QB3ShapeError("sharded decode needs an ix-indexed FTL/BASE stream")
     h, w, nb = info.ysize, info.xsize, info.nbands
-    assert h % (B * n_dev) == 0 and w % B == 0
+    if h % (B * n_dev) != 0 or w % B != 0:
+        raise QB3ShapeError("image shape must split into whole block rows per device")
     np_dt = NP_FROM_DT[DType(info.dtype)]
     uns_dt = UNSIGNED[np.dtype(np_dt).itemsize]
     glens = np.frombuffer(info.index, dtype="<u2").astype(np.int32)
