@@ -1,0 +1,82 @@
+"""Register-window gather via one-hot matmuls on the MXU.
+
+The decode wavefront needs, per group, W consecutive u32 stream words
+starting at an arbitrary (sorted) word offset.  Per-element gathers are
+XLA:TPU's weak spot (~10ns each) and the masked-sum Pallas kernel does O(R)
+vector work per gathered word.  The MXU formulation does it with two exact
+int8 matmuls per tile of G groups:
+
+  1. window build: row one-hot (n_tiles, nrows, total_rows) @ (total_rows,
+     128-byte rows) pulls each tile's 128-aligned stream window — no gather.
+  2. slab pick:    group one-hot (G, R) @ shifted windows (R, W*4 bytes)
+     picks each group's W words, byte-split so the int8 products are exact
+     (one 1 per one-hot row; the int32 accumulator sees a single byte).
+
+All operands are int8/uint8 bitcasts, so both matmuls run on the MXU's
+integer path at full rate; everything else is static reshapes/slices.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+@functools.partial(jax.jit, static_argnames=("G", "W", "R", "row_matmul"))
+def gather_slabs_onehot(words32, base, G: int, W: int, R: int,
+                        row_matmul: bool = True):
+    """words32 (n_words,) u32 (n_words % 128 == 0), base (ngroups,) i32
+    sorted word offsets -> (ngroups, W) u32 with out[g, j] = words32[base[g]+j].
+
+    ngroups must be a multiple of G; R (multiple of 128) must cover a tile's
+    word span plus W slack.  Out-of-window offsets yield zeros.
+    """
+    ngroups = base.shape[0]
+    n_tiles = ngroups // G
+    nrows = R // 128 + 1  # +1 row of slack for the W-shifted windows
+    base = base.astype(jnp.int32)
+    wrow = base[::G] >> 7  # 128-aligned window start rows
+    rel = base.reshape(n_tiles, G) - (wrow[:, None] << 7)  # (n_tiles, G)
+
+    words2d = words32.reshape(-1, 128)
+    total_rows = words2d.shape[0]
+    row_idx = wrow[:, None] + jnp.arange(nrows, dtype=jnp.int32)[None, :]
+    if row_matmul:
+        # (n_tiles*nrows, total_rows) one-hot @ (total_rows, 512 bytes)
+        rows1h = (row_idx.reshape(-1, 1) ==
+                  jnp.arange(total_rows, dtype=jnp.int32)[None, :])
+        wbytes = jax.lax.bitcast_convert_type(words2d, jnp.uint8).reshape(
+            total_rows, 512)
+        win = jax.lax.dot_general(
+            rows1h.astype(jnp.int8), wbytes.astype(jnp.int8),
+            (((1,), (0,)), ((), ())), preferred_element_type=jnp.int32)
+        win = jax.lax.bitcast_convert_type(
+            win.astype(jnp.uint8).reshape(n_tiles, nrows, 128, 4),
+            jnp.uint32).reshape(n_tiles, nrows * 128)
+    else:
+        win = words2d[jnp.clip(row_idx, 0, total_rows - 1)]
+        win = win.reshape(n_tiles, nrows * 128)
+
+    # shifted windows: winsh[t, r, j] = win[t, r + j]
+    winsh = jnp.stack([win[:, j : j + R] for j in range(W)], axis=-1)
+    wsb = jax.lax.bitcast_convert_type(winsh, jnp.uint8).reshape(
+        n_tiles, R, W * 4)
+    onehot = (rel[:, :, None] == jnp.arange(R, dtype=jnp.int32)[None, None, :])
+    out = jax.lax.dot_general(
+        onehot.astype(jnp.int8), wsb.astype(jnp.int8),
+        (((2,), (1,)), ((0,), (0,))), preferred_element_type=jnp.int32)
+    out = jax.lax.bitcast_convert_type(
+        out.astype(jnp.uint8).reshape(n_tiles, G, W, 4), jnp.uint32)
+    return out.reshape(ngroups, W)
+
+
+def window_R_bytes(glens: np.ndarray, G: int, W: int) -> int:
+    """Static window word count covering every tile's span (host side)."""
+    bits = np.concatenate([[0], np.cumsum(glens.astype(np.int64))])
+    starts = bits[:-1:G] // 32
+    spans = np.diff(np.concatenate([starts, [bits[-1] // 32 + 1]]))
+    R = int(spans.max()) + W + 130
+    return max(128, -(-R // 128) * 128)

@@ -201,24 +201,12 @@ def decode_fast_sharded(stream: bytes, n_dev: int) -> np.ndarray:
 
 
 def stitch_streams(words: np.ndarray, totals: np.ndarray) -> tuple[bytes, np.ndarray]:
-    """Concatenate per-shard bitstreams at bit granularity.
+    """Concatenate per-shard bitstreams at bit granularity (vectorized u64
+    shift/OR passes, stitch.py — not a Python bigint loop).
 
     words: (n_shards, n_words) uint32; totals: (n_shards,) bit lengths.
     """
-    out = bytearray()
-    acc = 0  # pending bits (int) and count
-    accn = 0
-    for s in range(words.shape[0]):
-        nbits = int(totals[s])
-        nbytes = (nbits + 7) // 8
-        chunk = words[s].view(np.uint8)[:nbytes].tobytes()
-        val = int.from_bytes(chunk, "little") & ((1 << nbits) - 1)
-        acc |= val << accn
-        accn += nbits
-        emit = accn // 8
-        out += (acc & ((1 << (emit * 8)) - 1)).to_bytes(emit, "little")
-        acc >>= emit * 8
-        accn -= emit * 8
-    if accn:
-        out += bytes([acc & 0xFF])
-    return bytes(out), totals
+    from ..stitch import stitch_bytes
+
+    return stitch_bytes(
+        (words[s], int(totals[s])) for s in range(words.shape[0])), totals

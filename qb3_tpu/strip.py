@@ -1,0 +1,188 @@
+"""Streaming strip encoder: bounded-memory encode of arbitrarily tall
+images, byte-exact with the whole-image encoder.
+
+The engine's band state (prev value, rung history, previous CF) persists
+across kernel calls, exactly like the reference's strip-wise sub-encoding
+of quantized images (QB3encode.cpp:405-455, band_state QB3common.h:63-65)
+— but surfaced as a public API:
+
+    se = StripEncoder(width, height, bands, DType.U8, mode=Mode.FTL)
+    for rows in row_chunks:          # any heights, in order
+        se.push(rows)
+    stream = se.finish()             # == Encoder(...).encode(whole_image)
+
+Memory is bounded by O(width x strip_rows x bands) regardless of height.
+Block rows (4 rows) encode as soon as their rows arrive; sub-streams are
+assembled with the vectorized bit stitcher (stitch.py).  The stored-raw
+fallback for incompressible images is not available in streaming mode (the
+raster is gone by finish()); everything else — quanta, RLE0 post-pass,
+core-band mapping, scan order, sidecars — matches Encoder.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from . import container, rle
+from .api import (NP_FROM_DT, UNSIGNED, Encoder, _best_kernel, _fast_kernel,
+                  max_encoded_size)
+from .constants import B, HILBERT, B2, DType, Mode, is_best_mode, is_fast_mode, needs_rle
+from .errors import QB3ShapeError
+from .stitch import stitch_bytes
+
+
+class StripEncoder:
+    def __init__(self, width: int, height: int, bands: int, dtype: DType,
+                 mode: int = Mode.FTL, quanta: int = 1, away: bool = False,
+                 coreband=None, strip_rows: int = 64, with_index=False,
+                 index_chunk_blocks: int = 0):
+        if width < B or height < B:
+            raise QB3ShapeError("streaming encode needs width, height >= 4")
+        if strip_rows % B:
+            raise QB3ShapeError("strip_rows must be a multiple of 4")
+        # reuse the Encoder for validation + persistent band state
+        self._enc = Encoder(width, height, bands, dtype)
+        self._enc.set_mode(mode)
+        if quanta != 1 and not self._enc.set_quanta(quanta, away):
+            raise QB3ShapeError(f"invalid quanta {quanta}")
+        if coreband is not None:
+            self._enc.set_coreband(coreband)
+        self.mode = self._enc.mode
+        self.user_mode = self._enc.mode
+        if needs_rle(self.mode):
+            self.mode = {Mode.RLE: Mode.BASE_Z, Mode.CF_RLE: Mode.CF,
+                         Mode.RLE_H: Mode.BASE_H, Mode.CF_RLE_H: Mode.CF_H}[self.mode]
+        self.strip_rows = strip_rows
+        self.with_index = with_index
+        self.index_chunk_blocks = index_chunk_blocks
+        self._np_dt = NP_FROM_DT[self._enc.dtype]
+        self._pending = np.zeros((0, width, bands), self._np_dt)
+        self._row0 = 0          # absolute row index of _pending[0]
+        self._frontier = 0      # next absolute row to encode (B-aligned)
+        self._rows_seen = 0
+        self._parts = []        # (words u32, nbits) per encoded strip
+        self._glens = []
+        self._rungs = []
+        self._done = False
+
+    # ------------------------------------------------------------------ feed
+
+    def push(self, rows: np.ndarray):
+        """Append (h, width, bands) rows; encodes completed block rows."""
+        e = self._enc
+        rows = np.asarray(rows).reshape(-1, e.xsize, e.nbands)
+        if rows.dtype != np.dtype(self._np_dt):
+            raise QB3ShapeError(f"dtype mismatch: {rows.dtype}")
+        if self._rows_seen + rows.shape[0] > e.ysize:
+            raise QB3ShapeError("more rows than the declared height")
+        self._pending = np.concatenate([self._pending, rows], axis=0)
+        self._rows_seen += rows.shape[0]
+        self._drain(flush=self._rows_seen == e.ysize)
+
+    def _drain(self, flush: bool = False):
+        """Encode aligned strips as their rows become available.
+
+        Without flush, only whole strip_rows chunks encode (stable kernel
+        shapes); flush encodes everything up to the last aligned block row.
+        """
+        e = self._enc
+        aligned_end = (e.ysize // B) * B
+        while True:
+            avail_end = self._row0 + self._pending.shape[0]
+            take = min(avail_end, aligned_end) - self._frontier
+            if not flush:
+                take -= take % self.strip_rows
+            if take <= 0:
+                break
+            i0 = self._frontier - self._row0
+            self._encode_strip(self._pending[i0 : i0 + take])
+            self._frontier += take
+            keep_abs = self._frontier
+            if e.ysize % B:  # the shifted tail block row re-reads these rows
+                keep_abs = min(keep_abs, e.ysize - B)
+            drop = max(0, keep_abs - self._row0)
+            self._pending = self._pending[drop:]
+            self._row0 += drop
+
+    def _encode_strip(self, strip: np.ndarray):
+        from .api import quantize
+
+        e = self._enc
+        work = strip
+        if e.quanta >= 2:
+            work = quantize(work, e.quanta, e.away)
+        uns = work.view(UNSIGNED[work.dtype.itemsize])
+        h, w, nb = uns.shape
+        order = e.order or HILBERT
+        n_words = (max_encoded_size(w, h, nb, e.dtype) + 3) // 4 + 2
+        if is_fast_mode(self.mode):
+            kern = _fast_kernel((h, w, nb), uns.dtype.name, order,
+                                tuple(e.cband), self.mode == Mode.FTL, n_words)
+            words, total, xp, xr, glen, rung = kern(
+                uns, e.band_prev.astype(uns.dtype), e.band_runbits)
+            e.band_prev = np.asarray(xp).astype(np.uint64)
+            e.band_runbits = np.asarray(xr)
+        elif is_best_mode(self.mode):
+            kern = _best_kernel((h, w, nb), uns.dtype.name, order,
+                                tuple(e.cband), n_words)
+            words, total, xp, xr, xcf, glen, _meta, _cfv = kern(
+                uns, e.band_prev.astype(uns.dtype), e.band_runbits,
+                e.band_cf.astype(uns.dtype))
+            e.band_prev = np.asarray(xp).astype(np.uint64)
+            e.band_runbits = np.asarray(xr)
+            e.band_cf = np.asarray(xcf).astype(np.uint64)
+            rung = None
+        else:
+            raise QB3ShapeError(f"unsupported streaming mode {self.mode}")
+        self._parts.append((np.asarray(words), int(total)))
+        if self.with_index:
+            self._glens.append(np.asarray(glen))
+            if rung is not None:
+                self._rungs.append(np.asarray(rung))
+
+    # ---------------------------------------------------------------- finish
+
+    def finish(self) -> bytes:
+        e = self._enc
+        if self._done:
+            raise QB3ShapeError("finish() called twice")
+        if self._rows_seen != e.ysize:
+            raise QB3ShapeError(
+                f"got {self._rows_seen} rows, declared {e.ysize}")
+        self._drain(flush=True)
+        if e.ysize % B:  # final shifted block row (QB3encode.h:409-416)
+            i0 = (e.ysize - B) - self._row0
+            self._encode_strip(self._pending[i0 : i0 + B])
+        self._done = True
+        payload = stitch_bytes(self._parts)
+
+        index, index_sig = None, b"ix"
+        if self.with_index and self._glens:
+            glens = np.concatenate([g.reshape(-1) for g in self._glens])
+            if self.with_index == "ic" and self._rungs:
+                from .ops.decode_chunked import IC_DEFAULT_K, chunk_spans, pack_ic
+
+                rungs = np.concatenate(self._rungs, axis=0)
+                k = self.index_chunk_blocks or IC_DEFAULT_K
+                spans, entry = chunk_spans(glens.astype(np.int64), rungs,
+                                           np.zeros(e.nbands, np.int32), k)
+                if int(spans.sum()) < 1 << 31:
+                    index, index_sig = pack_ic(spans, entry, k), b"ic"
+            elif is_best_mode(self.mode):
+                index = None  # "ib" would need the meta streams; not kept
+            else:
+                index = glens.astype("<u2").tobytes()
+        header = container.write_headers(
+            e.xsize, e.ysize, e.nbands, e.dtype, self.mode, e.cband,
+            e.quanta, e.order, index, index_sig)
+        result = header + payload
+        if needs_rle(self.user_mode):
+            if len(result) <= e.max_encoded_size() // 2:
+                packed = rle.rle0_encode(payload)
+                if len(packed) < len(payload) and \
+                        len(packed) <= e.max_encoded_size() - len(result):
+                    header = container.write_headers(
+                        e.xsize, e.ysize, e.nbands, e.dtype, self.user_mode,
+                        e.cband, e.quanta, e.order, index, index_sig)
+                    return header + packed
+        return result

@@ -1,0 +1,108 @@
+"""Streaming strip encoder: byte-exact with whole-image encode, bounded
+memory (reference analog: strip-wise sub-encoding, QB3encode.cpp:405-455)."""
+
+import numpy as np
+import pytest
+
+import qb3_tpu
+from qb3_tpu import StripEncoder
+from qb3_tpu.api import DT_FROM_NP, Encoder
+from qb3_tpu.constants import Mode
+from qb3_tpu.errors import QB3ShapeError
+
+from . import corpus
+
+
+def whole(img, mode, **kw):
+    h, w, c = img.shape
+    e = Encoder(w, h, c, DT_FROM_NP[img.dtype])
+    e.set_mode(mode)
+    if kw.get("quanta", 1) != 1:
+        e.set_quanta(kw["quanta"], kw.get("away", False))
+    if kw.get("coreband") is not None:
+        e.set_coreband(kw["coreband"])
+    return e.encode(img)
+
+
+def stream_in_pieces(img, mode, pieces, strip_rows=16, **kw):
+    h, w, c = img.shape
+    se = StripEncoder(w, h, c, DT_FROM_NP[img.dtype], mode=mode,
+                      strip_rows=strip_rows, **kw)
+    pos = 0
+    for p in pieces:
+        se.push(img[pos : pos + p])
+        pos += p
+    assert pos == h
+    return se.finish()
+
+
+def test_ftl_u8_byte_exact():
+    img = corpus.natural8(96, 64, 3, seed=90)
+    ref = whole(img, Mode.FTL)
+    got = stream_in_pieces(img, Mode.FTL, [10, 1, 37, 16, 32])
+    assert got == ref
+
+
+def test_base_u16():
+    img = corpus.to_type(corpus.natural8(64, 48, 1, seed=91), np.uint16, 257)
+    assert stream_in_pieces(img, Mode.BASE_H, [64]) == whole(img, Mode.BASE_H)
+
+
+def test_best_mode_state_chain():
+    img = corpus.natural8(80, 40, 2, seed=92)
+    img[:, :, 1] = (img[:, :, 1] // 3) * 9  # plant common factors
+    assert stream_in_pieces(img, Mode.CF_H, [8] * 10) == whole(img, Mode.CF_H)
+
+
+def test_quanta():
+    img = corpus.natural8(64, 64, 1, seed=93)
+    ref = whole(img, Mode.FTL, quanta=4)
+    assert stream_in_pieces(img, Mode.FTL, [64], quanta=4) == ref
+
+
+def test_unaligned_height_tail():
+    img = corpus.natural8(67, 48, 1, seed=94)
+    ref = whole(img, Mode.FTL)
+    got = stream_in_pieces(img, Mode.FTL, [50, 17], strip_rows=8)
+    assert got == ref
+
+
+def test_rle_mode():
+    img = np.zeros((64, 64, 1), np.uint8)
+    img[20:30, 20:30] = 77
+    assert stream_in_pieces(img, Mode.RLE_H, [64]) == whole(img, Mode.RLE_H)
+
+
+def test_ic_sidecar_decodes():
+    img = corpus.natural8(96, 64, 1, seed=95)
+    se = StripEncoder(64, 96, 1, DT_FROM_NP[img.dtype], with_index="ic")
+    se.push(img[:40]); se.push(img[40:])
+    s = se.finish()
+    from qb3_tpu import container
+    assert container.parse_headers(s).index_chunked is not None
+    dec, _ = qb3_tpu.decode(s)
+    np.testing.assert_array_equal(dec, img)
+
+
+def test_bounded_memory():
+    """The pending buffer never holds more than ~2 strips of rows."""
+    img = corpus.natural8(256, 32, 1, seed=96)
+    se = StripEncoder(32, 256, 1, DT_FROM_NP[img.dtype], strip_rows=16)
+    worst = 0
+    for y in range(0, 256, 8):
+        se.push(img[y : y + 8])
+        worst = max(worst, se._pending.shape[0])
+    s = se.finish()
+    assert worst <= 32, worst
+    assert s == whole(img, Mode.FTL)
+
+
+def test_errors():
+    with pytest.raises(QB3ShapeError):
+        StripEncoder(3, 64, 1, 0)
+    se = StripEncoder(32, 64, 1, 0)
+    with pytest.raises(QB3ShapeError):
+        se.push(np.zeros((65, 32, 1), np.uint8))
+    se.push(np.zeros((10, 32, 1), np.uint8))
+    with pytest.raises(QB3ShapeError):
+        se.finish()

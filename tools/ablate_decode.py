@@ -73,6 +73,13 @@ def main():
             basep = jnp.concatenate([base, jnp.broadcast_to(base[-1], (pad,))]) if pad else base
             Rg = R if G == 256 else max(256, -(-((G * 160) // 32 + NREG + 130) // 128) * 128)
             regs_arr = gather_slabs(words32, basep, G, NREG, Rg, sub=sub)[:ngroups]
+        elif gather_mode in ("onehot", "onehot-take"):
+            from qb3_tpu.ops.gather import gather_slabs_onehot
+            pad = (-ngroups) % G
+            basep = jnp.concatenate([base, jnp.broadcast_to(base[-1], (pad,))]) if pad else base
+            Rg = max(128, -(-((G * 160) // 32 + NREG + 130) // 128) * 128)
+            regs_arr = gather_slabs_onehot(words32, basep, G, NREG, Rg,
+                                           row_matmul=gather_mode == "onehot")[:ngroups]
         elif gather_mode == "xla":
             regs_arr = words32[base[:, None] + jnp.arange(NREG)[None, :]]
         else:  # none
@@ -167,14 +174,16 @@ def main():
 
     cases = [
         ("full G256", make("pallas", "full")),
-        ("full G64", make("pallas", "full", G=64)),
-        ("gather+wave (no recon)", make("pallas", "sum")),
+        ("full pallas G128 sub32", make("pallas", "full", G=128, sub=32)),
+        ("full onehot G256", make("onehot", "full")),
+        ("full onehot G128", make("onehot", "full", G=128)),
+        ("full onehot-take G256", make("onehot-take", "full")),
         ("gather only", make("pallas", "skip_wave")),
-        ("gather only G64", make("pallas", "skip_wave", G=64)),
-        ("gather only G128 sub32", make("pallas", "skip_wave", G=128, sub=32)),
-        ("xla gather only", make("xla", "skip_wave")),
+        ("onehot gather only G256", make("onehot", "skip_wave")),
+        ("onehot gather only G128", make("onehot", "skip_wave", G=128)),
+        ("onehot gather only G512", make("onehot", "skip_wave", G=512)),
+        ("onehot-take gather G256", make("onehot-take", "skip_wave")),
         ("wave only (no gather)", make("none", "sum")),
-        ("xla-gather full", make("xla", "full")),
     ]
     for name, fn in cases:
         try:
