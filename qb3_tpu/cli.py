@@ -27,21 +27,33 @@ from .constants import Mode
 
 
 def _load_image(path: str) -> np.ndarray:
-    from PIL import Image
+    """8- and 16-bit PNG (incl. 16-bit multichannel, pngio.py); other
+    formats via Pillow; .npy for the wider integer types."""
+    if path.lower().endswith(".npy"):
+        arr = np.load(path)
+    elif path.lower().endswith(".png"):
+        from . import pngio
 
-    im = Image.open(path)
-    arr = np.asarray(im)
+        arr = pngio.read_png(path)
+    else:
+        from PIL import Image
+
+        arr = np.asarray(Image.open(path))
     if arr.ndim == 2:
         arr = arr[:, :, None]
     return arr
 
 
 def _save_image(path: str, arr: np.ndarray):
-    from PIL import Image
+    if arr.dtype in (np.uint8, np.uint16) and path.lower().endswith(".png"):
+        from . import pngio
 
-    if arr.shape[2] == 1:
-        arr = arr[:, :, 0]
-    Image.fromarray(arr).save(path)
+        pngio.write_png(path, arr)
+        return path
+    # PNG can't carry 32/64-bit or signed rasters; fall back to .npy
+    alt = os.path.splitext(path)[0] + ".npy"
+    np.save(alt, arr)
+    return alt
 
 
 def pick_mode(args) -> Mode:
@@ -102,9 +114,9 @@ def decode_one(path: str, out: str, args) -> int:
     t0 = time.perf_counter()
     img, info = api.decode(stream)
     dt = time.perf_counter() - t0
-    _save_image(out, img)
+    out = _save_image(out, img)
     if args.verbose:
-        print(f"{path}: {len(stream)} -> {img.nbytes} bytes, "
+        print(f"{path}: {len(stream)} -> {img.nbytes} bytes ({out}), "
               f"{img.nbytes / 1e6 / dt:.1f} MB/s, mode {Mode(info.mode).name}")
     return 0
 
@@ -136,7 +148,7 @@ def main(argv=None) -> int:
             if low.endswith(".qb3"):
                 decode_one(p, p[:-4] + ".png", args)
                 n += 1
-            elif low.endswith((".png", ".jpg", ".jpeg")):
+            elif low.endswith((".png", ".jpg", ".jpeg", ".npy")):
                 encode_one(p, os.path.splitext(p)[0] + ".qb3", args)
                 n += 1
         if args.verbose:

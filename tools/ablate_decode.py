@@ -57,12 +57,12 @@ def main():
     dw = jax.device_put(jnp.asarray(wpad))
     dg = jax.device_put(jnp.asarray(glens))
 
-    def wavefront(words64, glens, gather_mode, G=256, sub=16, R=R):
+    def wavefront(words64, glens, gather_mode, G=256, sub=16, R=R, i32=False):
         """decode_indexed_narrow body with a pluggable gather stage."""
         W = jnp.uint32
         ubits = 3
         nmask = 7
-        ends = jnp.cumsum(glens.astype(jnp.int64))
+        ends = jnp.cumsum(glens.astype(jnp.int32 if i32 else jnp.int64))
         goff = ends - glens
         base = (goff >> 5).astype(jnp.int32)
         off0 = (goff & 31).astype(jnp.int32)
@@ -157,9 +157,12 @@ def main():
 
     variants = {}
 
-    def make(gather_mode, recon, G=256, sub=16):
+    def make(gather_mode, recon, G=256, sub=16, i32=False):
         def run(words64, glens):
-            regs_arr, goff, off0, base = wavefront(words64, glens, gather_mode, G, sub)
+            regs_arr, goff, off0, base = wavefront(words64, glens, gather_mode,
+                                                   G, sub, i32=i32)
+            if recon == "prep_only":
+                return jnp.sum(base) + jnp.sum(off0)
             if recon == "skip_wave":
                 return jnp.sum(regs_arr, dtype=jnp.uint32)
             g = decode_body(regs_arr, off0, glens)
@@ -173,17 +176,14 @@ def main():
         return jax.jit(run)
 
     cases = [
-        ("full G256", make("pallas", "full")),
-        ("full pallas G128 sub32", make("pallas", "full", G=128, sub=32)),
-        ("full onehot G256", make("onehot", "full")),
-        ("full onehot G128", make("onehot", "full", G=128)),
-        ("full onehot-take G256", make("onehot-take", "full")),
-        ("gather only", make("pallas", "skip_wave")),
-        ("onehot gather only G256", make("onehot", "skip_wave")),
-        ("onehot gather only G128", make("onehot", "skip_wave", G=128)),
-        ("onehot gather only G512", make("onehot", "skip_wave", G=512)),
-        ("onehot-take gather G256", make("onehot-take", "skip_wave")),
-        ("wave only (no gather)", make("none", "sum")),
+        ("prep only (i64 cumsum)", make("none", "prep_only")),
+        ("prep only (i32 cumsum)", make("none", "prep_only", i32=True)),
+        ("full onehot G128 i64", make("onehot", "full", G=128)),
+        ("full onehot G128 i32", make("onehot", "full", G=128, i32=True)),
+        ("full pallas G128s32 i32", make("pallas", "full", G=128, sub=32, i32=True)),
+        ("onehot gather G128 i32", make("onehot", "skip_wave", G=128, i32=True)),
+        ("wave only i32", make("none", "sum", i32=True)),
+        ("gather+wave onehot i32", make("onehot", "sum", G=128, i32=True)),
     ]
     for name, fn in cases:
         try:
