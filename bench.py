@@ -43,6 +43,117 @@ def sustained(fn, iters=30):
     return (time.perf_counter() - t0) / iters
 
 
+def mode_matrix():
+    """Per-mode/dtype device rates, each gated on byte-exactness vs the
+    oracle (when built) and a lossless roundtrip.  Reference rows to beat:
+    CID22 single-thread FTL 397.76 / BASE 327.44 / BEST 160.93 MB/s encode,
+    354.57 MB/s decode (performance.md:135-155)."""
+    import jax
+    import jax.numpy as jnp
+
+    import qb3_tpu
+    from qb3_tpu import container
+    from qb3_tpu.api import (_best_kernel, _decode_kernel, _decode_kernel_chunked,
+                             _decode_kernel_indexed, _fast_kernel,
+                             _indexed_window_R, _parse_best_sidecar,
+                             max_encoded_size)
+    from qb3_tpu.constants import HILBERT, Mode
+    from qb3_tpu.ops.decode import payload_words
+    from qb3_tpu.ops.decode_chunked import parse_ic
+
+    sys.path.insert(0, "tests")
+    try:
+        import refqb3
+        oracle = refqb3.available()
+    except ImportError:
+        oracle = False
+
+    cases = [
+        ("ftl-u8", Mode.FTL, np.uint8, 1, 512, 512, 3),
+        ("base-u8", Mode.BASE_H, np.uint8, 1, 512, 512, 3),
+        ("best-u8", Mode.CF_H, np.uint8, 1, 512, 512, 3),
+        ("ftl-u16", Mode.FTL, np.uint16, 257, 512, 512, 1),
+        ("ftl-u64", Mode.FTL, np.uint64, 1 << 40, 256, 256, 1),
+    ]
+    rows = []
+    for name, mode, npdt, mult, h, w, nb in cases:
+        img8 = natural_image(h, w, nb, seed=9)
+        img = img8.astype(npdt) * npdt(mult) if mult != 1 else img8
+        raw_mb = img.nbytes / 1e6
+        dt_code = {np.uint8: 0, np.uint16: 2, np.uint32: 4, np.uint64: 6}[npdt]
+        cband = (1, 1, 1) if nb == 3 else tuple(range(nb))
+        order = HILBERT
+        nblocks = (h // 4) * (w // 4)
+        uns = img
+        n_words = (max_encoded_size(w, h, nb, dt_code) + 3) // 4 + 2
+
+        # correctness gate: container stream bit-exact + lossless
+        stream = qb3_tpu.encode(img, mode=mode)
+        if oracle:
+            assert stream == refqb3.ref_encode(img, mode=int(mode)), name
+        dec, _ = qb3_tpu.decode(stream)
+        assert (dec == img).all(), name
+
+        # device encode
+        dimg = jax.device_put(jnp.asarray(uns))
+        if mode == Mode.CF_H:
+            ek = _best_kernel((h, w, nb), np.dtype(npdt).name, order, cband,
+                              n_words)
+            args = (dimg, jnp.zeros(nb, npdt), jnp.zeros(nb, jnp.int32),
+                    jnp.zeros(nb, npdt))
+        else:
+            ek = _fast_kernel((h, w, nb), np.dtype(npdt).name, order, cband,
+                              mode == Mode.FTL, n_words)
+            args = (dimg, jnp.zeros(nb, npdt), jnp.zeros(nb, jnp.int32))
+        t_enc = sustained(lambda: ek(*args), 15)
+
+        # device decode via the best applicable sidecar path
+        idx_kind = "ib" if mode == Mode.CF_H else (
+            "ic" if npdt in (np.uint32, np.uint64) else True)
+        sidx = qb3_tpu.encode(img, mode=mode, index=idx_kind)
+        info = container.parse_headers(sidx)
+        wordsv = payload_words(sidx[info.data_offset:])
+        nw = 1 << max(4, int(np.ceil(np.log2(len(wordsv)))))
+        wpad = np.zeros(nw, np.uint64)
+        wpad[: len(wordsv)] = wordsv
+        dw = jax.device_put(jnp.asarray(wpad))
+        zp = jnp.zeros(nb, dtype=jnp.uint64)
+        tb = np.dtype(npdt).itemsize * 8
+        if mode == Mode.CF_H:
+            kind, val_pos, vrung, cf = _parse_best_sidecar(
+                info.index_best, nblocks * nb)
+            dk = _decode_kernel(nblocks, nb, h, w, order, tuple(info.cband),
+                                True, np.dtype(npdt).name, nw)
+            dargs = (dw, jnp.asarray(kind), jnp.asarray(val_pos),
+                     jnp.asarray(vrung), jnp.asarray(cf), zp)
+        elif info.index_chunked is not None:
+            k, starts, entry, _tot = parse_ic(info.index_chunked, nblocks, nb)
+            dk = _decode_kernel_chunked(nblocks, nb, h, w, order,
+                                        tuple(info.cband), mode != Mode.FTL,
+                                        np.dtype(npdt).name, nw, k)
+            dargs = (dw, jnp.asarray(starts.astype(np.int32)),
+                     jnp.asarray(entry), zp)
+        else:
+            glens = np.frombuffer(info.index, dtype="<u2").astype(np.int32)
+            R = _indexed_window_R(glens, tb) if tb <= 16 else None
+            dk = _decode_kernel_indexed(nblocks, nb, h, w, order,
+                                        tuple(info.cband), mode != Mode.FTL,
+                                        np.dtype(npdt).name, nw, R)
+            dargs = (dw, jnp.asarray(glens), zp)
+        out = dk(*dargs)
+        assert (np.asarray(out[0]).reshape(img.shape) == img).all(), name
+        t_dec = sustained(lambda: dk(*dargs), 15)
+        row = {"case": name, "encode_MBps": round(raw_mb / t_enc, 1),
+               "decode_MBps": round(raw_mb / t_dec, 1),
+               "ratio_pct": round(100 * len(stream) / img.nbytes, 2),
+               "oracle_exact": bool(oracle)}
+        rows.append(row)
+        print(f"# {name}: enc {row['encode_MBps']} MB/s, "
+              f"dec {row['decode_MBps']} MB/s, ratio {row['ratio_pct']}%",
+              file=sys.stderr)
+    return rows
+
+
 def main():
     import jax
     import jax.numpy as jnp
@@ -104,7 +215,7 @@ def main():
     try:
         from qb3_tpu.batch import _batch_decode_kernel, _batch_encode_kernel
 
-        NB = 8
+        NB = 16  # amortizes per-dispatch latency (the serving shape batches)
         tiles = np.stack([natural_image(h, w, nb, seed=100 + i) for i in range(NB)])
         ekb = _batch_encode_kernel(NB, (h, w, nb), "uint8", HILBERT, (1, 1, 1),
                                    True, n_words)
@@ -137,27 +248,14 @@ def main():
     except Exception as e:  # pragma: no cover
         print(f"# batch path skipped: {e}", file=sys.stderr)
 
-    # ---- 64-bit raster rates (the BASELINE's second axis), reported to stderr
+    # ---- mode/dtype matrix with correctness gates -> BENCH_MATRIX.json
     try:
-        img64 = (natural_image(256, 256, 1, seed=7).astype(np.uint64)
-                 * np.uint64(1 << 40))
-        s64 = qb3_tpu.encode(img64, mode=qb3_tpu.Mode.FTL)
-        import refqb3
-        if refqb3.available():
-            assert s64 == refqb3.ref_encode(img64, mode=8), "u64 not bit-exact"
-        nw64 = (max_encoded_size(256, 256, 1, 6) + 3) // 4 + 2
-        ek64 = _fast_kernel((256, 256, 1), "uint64", HILBERT, (0,), True, nw64)
-        d64 = jax.device_put(jnp.asarray(img64))
-        p64 = jnp.zeros(1, jnp.uint64)
-        r64 = jnp.zeros(1, jnp.int32)
-        t64 = sustained(lambda: ek64(d64, p64, r64), 20)
-        dec64, _ = qb3_tpu.decode(s64)
-        assert (dec64 == img64).all()
-        t64d = sustained(lambda: qb3_tpu.decode(s64), 5)
-        print(f"# u64 256x256: device encode {img64.nbytes/1e6/t64:.1f} MB/s, "
-              f"host decode {img64.nbytes/1e6/t64d:.1f} MB/s", file=sys.stderr)
+        matrix = mode_matrix()
+        import json as _json
+        with open("BENCH_MATRIX.json", "w") as f:
+            _json.dump(matrix, f, indent=1)
     except Exception as e:  # pragma: no cover
-        print(f"# u64 bench skipped: {e}", file=sys.stderr)
+        print(f"# mode matrix skipped: {type(e).__name__}: {e}", file=sys.stderr)
 
     # end-to-end host rates for transparency
     t_e2e_enc = sustained(lambda: qb3_tpu.encode(img, mode=qb3_tpu.Mode.FTL), 5)

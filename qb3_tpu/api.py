@@ -407,9 +407,9 @@ def _parse_best_sidecar(buf: bytes, ngroups: int):
 
 # ------------------------------------------------------------------- decoder
 
-def _indexed_window_R(glens: np.ndarray, tbits: int, G: int = 256) -> int:
-    """Window word count for the Pallas gather, from the actual per-tile
-    spans in the sidecar (bucketed to limit recompiles)."""
+def _indexed_window_R(glens: np.ndarray, tbits: int, G: int = 128) -> int:
+    """Window word count for the register gather (ops/gather.py), from the
+    actual per-tile spans in the sidecar (bucketed to limit recompiles)."""
     nreg = 8 if tbits == 8 else 12
     bits = np.concatenate([[0], np.cumsum(glens.astype(np.int64))])
     starts = bits[:-1:G] // 32
@@ -591,7 +591,8 @@ class Decoder:
         glens = None
         if info.index is not None and is_fast_mode(info.mode):
             cand = np.frombuffer(info.index, dtype="<u2")
-            if cand.size == nblocks * nb:
+            if cand.size == nblocks * nb and \
+                    int(cand.astype(np.int64).sum()) < 1 << 31:
                 glens = cand.astype(np.int32)
         if glens is not None:
             tb = np.dtype(uns_dt).itemsize * 8

@@ -110,7 +110,8 @@ def decode_indexed_narrow(words64, glens, nblocks: int, nbands: int,
     ubits = 3 if tbits == 8 else 4
     nmask = (1 << ubits) - 1
     ngroups = nblocks * nbands
-    ends = jnp.cumsum(glens.astype(jnp.int64))
+    # int32 bit cursors: callers guard total bits < 2^31 (api._decode_core)
+    ends = jnp.cumsum(glens.astype(jnp.int32))
     goff = ends - glens  # group start bit offsets
     base = (goff >> 5).astype(jnp.int32)
     off0 = (goff & 31).astype(jnp.int32)
@@ -119,14 +120,15 @@ def decode_indexed_narrow(words64, glens, nblocks: int, nbands: int,
     gmax = 150 if tbits == 8 else 280
     words32 = jax.lax.bitcast_convert_type(words64, jnp.uint32).reshape(-1)
     if use_pallas:
-        from .pack_pallas import gather_slabs
+        # MXU one-hot gather (gather.py): ~4x the masked-sum Pallas kernel
+        from .gather import gather_slabs_onehot
 
-        G = 256
+        G = 128
         pad = (-ngroups) % G
         basep = jnp.concatenate([base, jnp.broadcast_to(base[-1], (pad,))]) if pad else base
         if R is None:
             R = -(-((G * gmax) // 32 + NREG + 130) // 128) * 128
-        regs_arr = gather_slabs(words32, basep, G, NREG, R, sub=16)[:ngroups]
+        regs_arr = gather_slabs_onehot(words32, basep, G, NREG, R)[:ngroups]
     else:
         regs_arr = words32[base[:, None] + jnp.arange(NREG)[None, :]]
     regs = [regs_arr[:, i] for i in range(NREG)]
