@@ -27,39 +27,54 @@ from .. import tables as T
 from ..constants import B2, ubits_for
 from .bitutils import magsabs, magsdiv, topbit
 from .encode import (
-    _CSW_CODE,
-    _CSW_LEN,
+    _work_dtype,
+    csw_arith,
     delta_mags,
     gather_blocks,
     block_rungs,
-    value_codes,
+    value_codes_arith,
 )
 
-_ENC_SINGLE_LEN = jnp.asarray(T.ENC_SINGLE[:, :, 0].astype(np.int32))
-_ENC_SINGLE_CODE = jnp.asarray(T.ENC_SINGLE[:, :, 1].astype(np.uint32))
-_IDX_LEN = jnp.asarray(T.IDX_ENC[:, 0].astype(np.int32))
-_IDX_CODE = jnp.asarray(T.IDX_ENC[:, 1].astype(np.uint32))
 _SIGNAL = T.SIGNAL  # host-side (ubits is static)
 
-_GCD_ITERS = {8: 14, 16: 26, 32: 48, 64: 94}
 
-
-def group_gcd(m):
+def group_gcd(m, W):
     """Greatest common factor of the mag-sign magnitudes of each group
-    (QB3encode.h:98-126).  m: (..., B2) -> (...) gcd (0 if all zero)."""
-    a = magsabs(m)
+    (QB3encode.h:98-126).  m: (..., B2) -> (...) gcd (0 if all zero).
+
+    Fixed-iteration binary GCD on W lanes: shift/subtract only — integer
+    modulo is emulated division on the VPU and dominates the Euclid form.
+    """
+    a = magsabs(m).astype(W)
     width = a.shape[-1]
-    iters = _GCD_ITERS[jnp.iinfo(m.dtype).bits]
+    tbits = jnp.iinfo(W).bits
+    one = jnp.ones((), W)
+
+    def ctz(v):
+        # trailing zeros of v (0 for v == 0): topbit of the lowest set bit
+        return jnp.where(v == 0, 0,
+                         topbit((v & (jnp.zeros((), W) - v)) | one))
 
     def pair_gcd(x, y):
-        # gcd with gcd(x, 0) == x; fixed-iteration Euclid
-        def body(_, xy):
-            x, y = xy
-            safe = jnp.where(y == 0, jnp.ones_like(y), y)
-            return jnp.where(y == 0, x, y), jnp.where(y == 0, y, x % safe)
+        # gcd(x, 0) == x.  Classic binary form: factor out common twos,
+        # keep odd parts, subtract; the larger operand loses >= 1 bit per
+        # two rounds, so 2*tbits rounds always converge.
+        both = (x != 0) & (y != 0)
+        twos = jnp.where(both, jnp.minimum(ctz(x), ctz(y)), 0)
+        xo = x >> ctz(x).astype(W)
+        yo = y >> ctz(y).astype(W)
 
-        x, y = jax.lax.fori_loop(0, iters, body, (x, y))
-        return x
+        def body(_, xy):
+            xo, yo = xy  # xo odd (or final gcd), yo odd or 0
+            hi = jnp.maximum(xo, yo)
+            lo = jnp.minimum(xo, yo)
+            d = hi - lo
+            d = d >> ctz(d).astype(W)
+            return jnp.where(yo == 0, xo, lo), jnp.where(yo == 0, yo, d)
+
+        xo, yo = jax.lax.fori_loop(0, 2 * int(tbits), body, (xo, yo))
+        g = jnp.where(x == 0, y, jnp.where(y == 0, x, xo << twos.astype(W)))
+        return g
 
     while width > 1:
         half = width // 2
@@ -69,40 +84,47 @@ def group_gcd(m):
 
 
 def single_codes(v, rung):
-    """qb3csztbl: single-value encode at arbitrary rung (QB3encode.h:144-150).
+    """qb3csztbl: single-value encode at arbitrary rung (QB3encode.h:144-150),
+    computed arithmetically (base VLC + the rung 3..7 middle swap; the
+    single-value context has no rung 1/2 swap, tables.py ENC_SINGLE).
 
-    v: uint64 values < 2^(rung+1); rung: int32 >= 0.  No 65-bit cases
-    (callers guarantee rung <= 62).  Returns (code u64, len i32).
-    """
-    tr = jnp.clip(rung, 0, 7)
-    tv = jnp.clip(v, 0, 255).astype(jnp.int32)
-    tl = _ENC_SINGLE_LEN[tr, tv]
-    tc = _ENC_SINGLE_CODE[tr, tv].astype(jnp.uint64)
-    r64 = jnp.clip(rung, 2, None).astype(jnp.uint64)
-    nxt = (v >> (r64 - 1)) & 1
-    top = v >> r64
-    tb = jnp.uint64(1) << r64
-    cl = rung + (top + (top | nxt)).astype(jnp.int32)
+    v: W-typed values < 2^(rung+1); rung: int32 >= 0 (<= 62, no 65-bit
+    case).  Returns (code W, len i32)."""
+    W = v.dtype
+    one = jnp.ones((), W)
+    rw = rung.astype(W) if hasattr(rung, "astype") else W(rung)
+    # middle swap for rungs 3..7
+    a = (one << jnp.clip(rw, 0, 7)) - 1
+    do_swap = (rung >= 3) & (rung <= 7)
+    v = jnp.where(do_swap & (v == a), a + 1,
+        jnp.where(do_swap & (v == a + 1), a, v))
+    r = jnp.maximum(rung, 1)
+    rwc = r.astype(W)
+    nxt = (v >> (rwc - 1)) & 1
+    top = v >> rwc
+    tb = one << rwc
+    cl = r + (top + (top | nxt)).astype(jnp.int32)
     cc = jnp.where(top == 1, ((v ^ tb) << 2) | 3,
                    jnp.where(nxt == 1, (((v << 1) ^ tb) << 1) | 1, v << 1))
-    use_tbl = rung <= 7
-    return jnp.where(use_tbl, tc, cc), jnp.where(use_tbl, tl, cl)
+    # rung 0: one literal bit
+    return (jnp.where(rung == 0, v & 1, cc),
+            jnp.where(rung == 0, 1, cl))
 
 
 def _flagless(code, ln):
     """Drop the codeswitch change flag (cfgenc/ienc emit it separately or not
     at all, QB3encode.h:300-305, :581-592)."""
-    return code >> jnp.uint64(1), ln - 1
+    return code >> code.dtype.type(1), ln - 1
 
 
-def _cs_or_signal(ubits, idxs):
-    """Codeswitch for a rung delta; the len-1 no-change form is replaced by
-    the SIGNAL long form (QB3encode.h:301-303)."""
-    ln = _CSW_LEN[ubits, idxs]
-    code = _CSW_CODE[ubits, idxs].astype(jnp.uint64)
+def _cs_or_signal(ubits, delta, W):
+    """Codeswitch code for a rung delta; the len-1 no-change form is replaced
+    by the SIGNAL long form (QB3encode.h:301-303)."""
+    code32, ln = csw_arith(delta, jnp.zeros_like(delta), ubits)
+    code = code32.astype(W)
     sig_len, sig_code = int(_SIGNAL[ubits, 0]), int(_SIGNAL[ubits, 1])
     use_sig = ln == 1
-    return (jnp.where(use_sig, jnp.uint64(sig_code), code),
+    return (jnp.where(use_sig, W(sig_code), code),
             jnp.where(use_sig, sig_len, ln))
 
 
@@ -114,9 +136,10 @@ def index_candidate(m, rung, oldrung, ubits: int):
      total_len, valid).
     """
     nmask = (1 << ubits) - 1
-    m64 = m.astype(jnp.uint64)
+    W = _work_dtype(int(jnp.iinfo(m.dtype).bits))
+    mW = m.astype(W)
     # uniques in first-occurrence order
-    eq = m64[..., :, None] == m64[..., None, :]  # (nb, C, 16, 16)
+    eq = mW[..., :, None] == mW[..., None, :]  # (nb, C, 16, 16)
     first_occ = jnp.argmax(eq, axis=-1)  # first j with g[j] == g[i]
     lane = jnp.arange(B2, dtype=first_occ.dtype)
     is_first = first_occ == lane
@@ -135,24 +158,25 @@ def index_candidate(m, rung, oldrung, ubits: int):
     # position of each unique slot in the sorted order (inverse permutation)
     inv = jnp.argsort(order, axis=-1, stable=True)
     final_idx = jnp.take_along_axis(inv, uid8, axis=-1)  # (nb, C, 16) in 0..7
-    idx_codes = _IDX_CODE[final_idx].astype(jnp.uint64)
-    idx_lens = _IDX_LEN[final_idx]
+    # plain rung-2 index code (no swap in single context at rung 2)
+    idx_codes, idx_lens = single_codes(final_idx.astype(W),
+                                       jnp.full(final_idx.shape, 2, jnp.int32))
     # unique values ordered by frequency
-    uniq_vals_slot = jnp.sum(jnp.where(is_first, m64, 0)[..., None] *
-                             (rank[..., None] == jnp.arange(B2 // 2)[None, None, None, :]),
+    uniq_vals_slot = jnp.sum(jnp.where(is_first, mW, 0)[..., None] *
+                             (rank[..., None] == jnp.arange(B2 // 2)[None, None, None, :]).astype(W),
                              axis=-2)  # value of unique slot u (first-seen order)
     uniq_sorted = jnp.take_along_axis(uniq_vals_slot, order, axis=-1)
-    uc, ul = single_codes(uniq_sorted, rung[..., None])
+    uc, ul = single_codes(uniq_sorted, jnp.broadcast_to(rung[..., None], uniq_sorted.shape))
     live_sorted = jnp.take_along_axis(slot_live, order, axis=-1)
     ul = jnp.where(live_sorted, ul, 0)
     uc = jnp.where(live_sorted, uc, 0)
     # prefix: SIGNAL + flagless cs(max-oldrung) + flagless cs(rung-oldrung)
     sig_len, sig_code = int(_SIGNAL[ubits, 0]), int(_SIGNAL[ubits, 1])
-    c1, l1 = _cs_or_signal(ubits, (nmask - oldrung) & nmask)
+    c1, l1 = _cs_or_signal(ubits, (nmask - oldrung) & nmask, W)
     c1, l1 = _flagless(c1, l1)
-    c2, l2 = _cs_or_signal(ubits, (rung - oldrung) & nmask)
+    c2, l2 = _cs_or_signal(ubits, (rung - oldrung) & nmask, W)
     c2, l2 = _flagless(c2, l2)
-    pcode = jnp.uint64(sig_code) | (c1 << sig_len) | (c2 << (sig_len + l1).astype(jnp.uint64))
+    pcode = W(sig_code) | (c1 << W(sig_len)) | (c2 << (sig_len + l1).astype(W))
     plen = sig_len + l1 + l2
     total = plen + jnp.sum(idx_lens, axis=-1) + jnp.sum(ul, axis=-1)
     return pcode, plen, idx_codes, idx_lens, uc, ul, total, valid
@@ -165,22 +189,23 @@ def cf_candidate(m, rung, oldrung, ubits: int):
     Returns a dict of code/len tensors; selection happens after the pcf scan.
     """
     nmask = (1 << ubits) - 1
-    cf = group_gcd(m)  # (nb, C) unsigned
+    W = _work_dtype(int(jnp.iinfo(m.dtype).bits))
+    cf = group_gcd(m, W)  # (nb, C) W-typed
     has_cf = cf >= 2
     cf_safe = jnp.where(has_cf, cf, jnp.full_like(cf, 2))
-    div = magsdiv(m, cf_safe[..., None])  # divided group
+    div = magsdiv(m, cf_safe[..., None].astype(m.dtype))  # divided group
     bitsused = div[..., 0]
     for i in range(1, B2):
         bitsused = bitsused | div[..., i]
     trung = topbit(bitsused | jnp.ones_like(bitsused))  # <= 62 when cf >= 2
-    cfm = (cf_safe - 2).astype(jnp.uint64)  # biased CF
-    cfrung = topbit(cfm | jnp.uint64(1))
+    cfm = cf_safe - W(2)  # biased CF
+    cfrung = topbit(cfm | W(1))
 
     sig_len, sig_code = int(_SIGNAL[ubits, 0]), int(_SIGNAL[ubits, 1])
-    cst_c, cst_l = _cs_or_signal(ubits, (trung - oldrung) & nmask)
+    cst_c, cst_l = _cs_or_signal(ubits, (trung - oldrung) & nmask, W)
     cst_c, cst_l = _flagless(cst_c, cst_l)
     # header base: SIGNAL + flagless rung switch
-    base_code = jnp.uint64(sig_code) | (cst_c << sig_len)
+    base_code = W(sig_code) | (cst_c << W(sig_len))
     base_len = sig_len + cst_l
 
     at_trung = (trung >= cfrung) & ((trung < cfrung + ubits) | (cfrung == 0))
@@ -191,20 +216,19 @@ def cf_candidate(m, rung, oldrung, ubits: int):
     cfc_at = jnp.where(trung0, cfm & 1, cfc_at)
     cfl_at = jnp.where(trung0, 1, cfl_at)
     # diff-CF, own rung: flag '1' + full csw(cfrung-trung) + cf at cfrung-1
-    csw_idx = (cfrung - trung) & nmask
-    own_c = _CSW_CODE[ubits, csw_idx].astype(jnp.uint64)
-    own_l = _CSW_LEN[ubits, csw_idx]
-    cfc_own, cfl_own = single_codes(cfm ^ (jnp.uint64(1) << cfrung.astype(jnp.uint64)),
+    own_c32, own_l = csw_arith(cfrung, trung, ubits)
+    own_c = own_c32.astype(W)
+    cfc_own, cfl_own = single_codes(cfm ^ (W(1) << cfrung.astype(W)),
                                     cfrung - 1)
 
     # body: divided group at trung (with step), or 16 single bits when trung==0
-    dc, dl, _, _ = value_codes(div, trung, skipstep=False)
-    dc = jnp.where(trung0[..., None], div.astype(jnp.uint64) & 1, dc)
+    dc, dl, _, _ = value_codes_arith(div, trung, skipstep=False)
+    dc = jnp.where(trung0[..., None], div.astype(W) & 1, dc)
     dl = jnp.where(trung0[..., None], 1, dl)
     body_len = jnp.sum(dl, axis=-1)
 
     # P1 assembly per variant: flags are emitted right after the header base
-    one = jnp.uint64(1)
+    one = W(1)
     # same: '0' flag
     p1_same = base_code
     l1_same = base_len + 1
@@ -261,6 +285,7 @@ def encode_best_blocks(img, entry_prev, entry_runbits, entry_cf, order: int,
     ubits = ubits_for(img.dtype.itemsize)
     nmask = (1 << ubits) - 1
     tbits = jnp.iinfo(img.dtype).bits
+    W = _work_dtype(int(tbits))
     vals = gather_blocks(img, order, cband)
     m, exit_prev = delta_mags(vals, entry_prev)
     bitsused, rung, oldrung, exit_runbits = block_rungs(m, entry_runbits)
@@ -268,10 +293,10 @@ def encode_best_blocks(img, entry_prev, entry_runbits, entry_cf, order: int,
     active = ~rung0
 
     # ---- candidates
-    plain_codes, plain_lens, plain_eb, plain_el = value_codes(m, rung, skipstep=False)
-    cs_idx = (rung - oldrung) & nmask
-    cs_len = _CSW_LEN[ubits, cs_idx]
-    cs_code = _CSW_CODE[ubits, cs_idx].astype(jnp.uint64)
+    plain_codes, plain_lens, plain_eb, plain_el = value_codes_arith(
+        m, rung, skipstep=False)
+    cs_code32, cs_len = csw_arith(rung, oldrung, ubits)
+    cs_code = cs_code32.astype(W)
     plain_size = cs_len + jnp.sum(plain_lens + plain_el, axis=-1)
 
     cfd = cf_candidate(m, rung, oldrung, ubits)
@@ -289,7 +314,7 @@ def encode_best_blocks(img, entry_prev, entry_runbits, entry_cf, order: int,
     # ---- pcf chain: transition is identity iff the index trial would win
     # against the different-CF candidate; otherwise set to cf-2
     is_set = active & cfd["has_cf"] & ~win_diff
-    pcf_in, exit_cf = pcf_scan(is_set, cfd["cfm"], entry_cf.astype(jnp.uint64))
+    pcf_in, exit_cf = pcf_scan(is_set, cfd["cfm"], entry_cf.astype(W))
     same = pcf_in == cfd["cfm"]
 
     use_cf = active & cfd["has_cf"]
@@ -299,8 +324,8 @@ def encode_best_blocks(img, entry_prev, entry_runbits, entry_cf, order: int,
 
     # ---- final symbol selection
     # S0 prefix
-    flag = (bitsused & 1).astype(jnp.uint64)
-    p_rung0 = cs_code | (flag << cs_len.astype(jnp.uint64))
+    flag = (bitsused & 1).astype(W)
+    p_rung0 = cs_code | (flag << cs_len.astype(W))
     l_rung0 = cs_len + 1
     cf_p1 = jnp.where(same, cfd["p1_same"], cfd["p1_diff"])
     cf_l1 = jnp.where(same, cfd["l1_same"], cfd["l1_diff"])
@@ -312,25 +337,25 @@ def encode_best_blocks(img, entry_prev, entry_runbits, entry_cf, order: int,
              jnp.where(use_cf, cf_l1, cs_len)))
     # S1/S2: only for diff-CF
     diff_cf = use_cf & ~same & ~win
-    s1_code = jnp.where(diff_cf, cfd["s1_code_diff"], jnp.uint64(0))
+    s1_code = jnp.where(diff_cf, cfd["s1_code_diff"], W(0))
     s1_len = jnp.where(diff_cf, cfd["s1_len_diff"], 0)
-    s2_code = jnp.where(diff_cf, cfd["s2_code_diff"], jnp.uint64(0))
+    s2_code = jnp.where(diff_cf, cfd["s2_code_diff"], W(0))
     s2_len = jnp.where(diff_cf, cfd["s2_len_diff"], 0)
     # V0..15
     r0b = rung0[..., None]
     winb = win[..., None]
     cfb = use_cf[..., None]
-    v_code = jnp.where(r0b, m.astype(jnp.uint64) & 1,
+    v_code = jnp.where(r0b, m.astype(W) & 1,
              jnp.where(winb, icodes,
              jnp.where(cfb, cfd["body_codes"], plain_codes)))
     v_len = jnp.where(r0b, jnp.where((bitsused == 1)[..., None], 1, 0),
             jnp.where(winb, ilens,
             jnp.where(cfb, cfd["body_lens"], plain_lens)))
     # extras (u64 rung-63 overflow): only the plain path can produce them
-    e_code = jnp.where(r0b | winb | cfb, jnp.uint64(0), plain_eb.astype(jnp.uint64))
+    e_code = jnp.where(r0b | winb | cfb, W(0), plain_eb.astype(W))
     e_len = jnp.where(r0b | winb | cfb, 0, plain_el)
     # U0..7 unique values: only when the index encoding wins
-    u_code = jnp.where(winb, ucodes, jnp.uint64(0))[..., : B2 // 2]
+    u_code = jnp.where(winb, ucodes, W(0))[..., : B2 // 2]
     u_len = jnp.where(winb, ulens, 0)[..., : B2 // 2]
 
     parts_c = [s0_code[..., None], s1_code[..., None], s2_code[..., None]]

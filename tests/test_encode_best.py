@@ -95,3 +95,28 @@ def test_cross_decode_best():
     ours = qb3_tpu.encode(img, mode=Mode.CF_H)
     dec, info = refqb3.ref_decode(ours)
     np.testing.assert_array_equal(dec, img)
+
+
+def test_group_gcd_adversarial():
+    """Binary-GCD regression: pairs with a large odd/odd ratio (e.g. 3 vs
+    257*k) need the halving step; a subtract-only loop would not converge."""
+    import math
+
+    import jax.numpy as jnp
+
+    from qb3_tpu.ops.bitutils import magsabs
+    from qb3_tpu.ops.encode_best import group_gcd
+
+    rng = np.random.default_rng(99)
+    m = rng.integers(0, 1 << 16, size=(128, 1, 16), dtype=np.uint16)
+    m[0, 0] = (np.arange(16, dtype=np.uint16) * 257) * 2  # magsabs = 257*i
+    m[1, 0, :8] = 6
+    m[1, 0, 8:] = 1028  # gcd(3, 514) = 1 after magsabs
+    m[2, 0] = 0
+    got = np.asarray(group_gcd(jnp.asarray(m), jnp.uint32)).astype(np.int64)
+    a = np.asarray(magsabs(jnp.asarray(m))).astype(np.int64)
+    for i in range(m.shape[0]):
+        want = 0
+        for v in a[i, 0]:
+            want = math.gcd(want, int(v))
+        assert got[i, 0] == want, (i, got[i, 0], want, a[i, 0])
