@@ -279,16 +279,30 @@ def pcf_scan(is_set, set_val, entry_cf):
 
 
 def encode_best_blocks(img, entry_prev, entry_runbits, entry_cf, order: int,
-                       cband: tuple[int, ...]):
+                       cband: tuple[int, ...], cf_exchange=None,
+                       prev_exchange=None, rung_exchange=None):
     """Phase A for the best encoder.  Returns flattened (codes, lens) in
-    stream order plus exit band state."""
+    stream order plus exit band state.
+
+    Sharded callers inject the cross-shard band-state collectives via three
+    hooks, each a pure function of shard-local data (no sequential chain):
+      prev_exchange(vals) -> (C,) entry_prev      (ppermute of exit values)
+      rung_exchange(exit_runbits) -> (C,) entry   (ppermute of exit rungs)
+      cf_exchange(is_set, set_val) -> (C,) entry pcf ("last CF set wins"
+        across shards; the set decisions are entry-independent, see the
+        module docstring, so one all-gather suffices)."""
     ubits = ubits_for(img.dtype.itemsize)
     nmask = (1 << ubits) - 1
     tbits = jnp.iinfo(img.dtype).bits
     W = _work_dtype(int(tbits))
     vals = gather_blocks(img, order, cband)
+    if prev_exchange is not None:
+        entry_prev = prev_exchange(vals)
     m, exit_prev = delta_mags(vals, entry_prev)
     bitsused, rung, oldrung, exit_runbits = block_rungs(m, entry_runbits)
+    if rung_exchange is not None:
+        entry_runbits = rung_exchange(exit_runbits)
+        oldrung = jnp.concatenate([entry_runbits[None, :], rung[:-1]], axis=0)
     rung0 = bitsused <= 1
     active = ~rung0
 
@@ -314,7 +328,9 @@ def encode_best_blocks(img, entry_prev, entry_runbits, entry_cf, order: int,
     # ---- pcf chain: transition is identity iff the index trial would win
     # against the different-CF candidate; otherwise set to cf-2
     is_set = active & cfd["has_cf"] & ~win_diff
-    pcf_in, exit_cf = pcf_scan(is_set, cfd["cfm"], entry_cf.astype(W))
+    entry_cf_w = (cf_exchange(is_set, cfd["cfm"]) if cf_exchange is not None
+                  else entry_cf.astype(W))
+    pcf_in, exit_cf = pcf_scan(is_set, cfd["cfm"], entry_cf_w)
     same = pcf_in == cfd["cfm"]
 
     use_cf = active & cfd["has_cf"]

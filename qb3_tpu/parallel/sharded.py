@@ -48,29 +48,89 @@ def _shard_encode_fn(order, cband, skipstep, ubits, n_words, axis, maxbits):
         oldrung = jnp.concatenate([entry_runbits[None, :], rung[:-1]], axis=0)
         codes, lens = fast_symbols(m, bitsused, rung, oldrung, ubits, skipstep)
         nsym = codes.shape[-1]
-        words, total, _glen = pack_groups(codes.reshape(-1, nsym), lens.reshape(-1, nsym),
-                                          n_words, maxbits)
-        return words[None], total[None]
+        words, total, glen = pack_groups(codes.reshape(-1, nsym), lens.reshape(-1, nsym),
+                                         n_words, maxbits)
+        return words[None], total[None], glen[None], rung[None]
+
+    return fn
+
+
+def _shard_best_fn(order, cband, ubits, n_words, axis, maxbits):
+    from ..ops.encode_best import encode_best_blocks
+
+    def fn(img_local):
+        n_dev = jax.lax.axis_size(axis)
+        perm = [(i, i + 1) for i in range(n_dev - 1)]
+        my = jax.lax.axis_index(axis)
+        nbands = img_local.shape[-1]
+
+        def prev_exchange(vals):
+            return jax.lax.ppermute(vals[-1, :, -1], axis, perm)
+
+        def rung_exchange(exit_runbits):
+            return jax.lax.ppermute(exit_runbits, axis, perm)
+
+        def cf_exchange(is_set, set_val):
+            # entry pcf = last CF set among shards before me (else 0);
+            # "last set wins" composes across shards (module docstring)
+            nb_l = is_set.shape[0]
+            idx = jnp.where(is_set, jnp.arange(nb_l, dtype=jnp.int32)[:, None], -1)
+            last = jnp.max(idx, axis=0)  # (C,)
+            val = jnp.take_along_axis(set_val, jnp.clip(last, 0, None)[None, :],
+                                      axis=0)[0]
+            has = last >= 0
+            all_has = jax.lax.all_gather(has, axis)  # (n_dev, C)
+            all_val = jax.lax.all_gather(val, axis)
+            prior = jnp.arange(all_has.shape[0])[:, None] < my
+            elig = all_has & prior
+            sidx = jnp.max(jnp.where(elig, jnp.arange(all_has.shape[0])[:, None], -1),
+                           axis=0)
+            ent = jnp.take_along_axis(all_val, jnp.clip(sidx, 0, None)[None, :],
+                                      axis=0)[0]
+            return jnp.where(sidx >= 0, ent, jnp.zeros_like(ent))
+
+        z = jnp.zeros(nbands, img_local.dtype)
+        zr = jnp.zeros(nbands, jnp.int32)
+        codes, lens, _, _, _, meta16, cfv = encode_best_blocks(
+            img_local, z, zr, z, order, cband, cf_exchange=cf_exchange,
+            prev_exchange=prev_exchange, rung_exchange=rung_exchange)
+        nsym = codes.shape[-1]
+        words, total, glen = pack_groups(codes, lens, n_words, maxbits)
+        return words[None], total[None], glen[None], meta16[None], cfv[None]
 
     return fn
 
 
 @functools.lru_cache(maxsize=16)
-def _sharded_kernel(shape, npdtype, order, cband, skipstep, n_words, n_dev):
+def _sharded_kernel(shape, npdtype, order, cband, best, skipstep, n_words, n_dev):
     if len(jax.devices()) < n_dev:
         raise RuntimeError(
             f"need {n_dev} devices, have {len(jax.devices())} "
             "(set --xla_force_host_platform_device_count for CPU testing)")
+    from ..stitch import stitch_words_device
+
     mesh = Mesh(np.array(jax.devices()[:n_dev]), ("tiles",))
     ubits = ubits_for(np.dtype(npdtype).itemsize)
-    maxbits = group_bits_bound(np.dtype(npdtype).itemsize * 8, best=False)
-    fn = _shard_encode_fn(order, cband, skipstep, ubits, n_words, "tiles", maxbits)
-    mapped = jax.shard_map(
-        fn, mesh=mesh,
-        in_specs=P("tiles"),
-        out_specs=(P("tiles"), P("tiles")),
-    )
-    return jax.jit(mapped), mesh
+    maxbits = group_bits_bound(np.dtype(npdtype).itemsize * 8, best=best)
+    if best:
+        fn = _shard_best_fn(order, cband, ubits, n_words, "tiles", maxbits)
+        n_out = 5
+    else:
+        fn = _shard_encode_fn(order, cband, skipstep, ubits, n_words, "tiles",
+                              maxbits)
+        n_out = 4
+    mapped = jax.shard_map(fn, mesh=mesh, in_specs=P("tiles"),
+                           out_specs=(P("tiles"),) * n_out)
+    nw_out = (n_dev * n_words) // 2 + 2
+
+    def run(arr):
+        outs = mapped(arr)
+        words, totals = outs[0], outs[1]
+        # device-side stitch: one bit-dense stream, no host bigint work
+        stitched, total = stitch_words_device(words, totals, nw_out)
+        return (stitched, total, totals) + tuple(outs[2:])
+
+    return jax.jit(run), mesh
 
 
 def encode_fast_sharded(img: np.ndarray, n_dev: int, order: int = HILBERT,
@@ -79,8 +139,14 @@ def encode_fast_sharded(img: np.ndarray, n_dev: int, order: int = HILBERT,
     """Encode (H, W, C) across n_dev devices; H must be a multiple of 4*n_dev.
 
     Returns (payload bytes, per-shard bit lengths) — byte-exact with the
-    single-device stream.
+    single-device stream.  encode_sharded() adds container framing.
     """
+    payload, totals, _, _ = _encode_sharded_payload(img, n_dev, order, cband,
+                                                    skipstep, best=False)
+    return payload, totals
+
+
+def _encode_sharded_payload(img, n_dev, order, cband, skipstep, best):
     h, w, nb = img.shape
     if h % (B * n_dev) != 0:
         raise QB3ShapeError("height must split into whole block rows per device")
@@ -89,10 +155,136 @@ def encode_fast_sharded(img: np.ndarray, n_dev: int, order: int = HILBERT,
     from ..api import max_encoded_size, DT_FROM_NP
     n_words = (max_encoded_size(w, h // n_dev, nb, DT_FROM_NP[img.dtype]) + 3) // 4 + 2
     kern, mesh = _sharded_kernel((h, w, nb), img.dtype.name, order, tuple(cband),
-                                 skipstep, n_words, n_dev)
+                                 best, skipstep, n_words, n_dev)
     arr = jax.device_put(jnp.asarray(img), NamedSharding(mesh, P("tiles")))
-    words, totals = kern(arr)
-    return stitch_streams(np.asarray(words), np.asarray(totals))
+    outs = kern(arr)
+    stitched, total, totals = np.asarray(outs[0]), int(outs[1]), np.asarray(outs[2])
+    payload = stitched.view(np.uint8)[: (total + 7) // 8].tobytes()
+    glens = np.asarray(outs[3]).reshape(-1)
+    extra = tuple(np.asarray(o) for o in outs[4:])  # rungs / (meta16, cfv)
+    return payload, totals, glens, extra
+
+
+def encode_sharded(img: np.ndarray, n_dev: int, mode: int | None = None,
+                   quanta: int = 1, away: bool = False, coreband=None,
+                   index=False) -> bytes:
+    """Full container encode over an n_dev-device mesh: quanta, RLE
+    post-pass, stored fallback, core bands, and the ix/ic/ib sidecars —
+    byte-exact with the single-device Encoder (api.py) for every mode."""
+    from .. import container, rle
+    from ..api import DT_FROM_NP, UNSIGNED, default_cband, max_encoded_size, quantize
+    from ..constants import (Mode, ZCURVE, is_best_mode, is_fast_mode,
+                             mode_uses_zcurve, needs_rle)
+
+    h, w, nb = img.shape
+    dtype = DT_FROM_NP[img.dtype]
+    user_mode = Mode(mode if mode is not None else Mode.FTL)
+    mode = user_mode
+    if needs_rle(mode):
+        mode = {Mode.RLE: Mode.BASE_Z, Mode.CF_RLE: Mode.CF,
+                Mode.RLE_H: Mode.BASE_H, Mode.CF_RLE_H: Mode.CF_H}[mode]
+    order = ZCURVE if mode_uses_zcurve(user_mode) else 0
+    cband = tuple(coreband) if coreband is not None else tuple(default_cband(nb))
+
+    work = img
+    if quanta >= 2:
+        work = quantize(work, quanta, away)
+    uns = work.view(UNSIGNED[work.dtype.itemsize])
+
+    best = is_best_mode(mode)
+    payload, totals, glens, extra = _encode_sharded_payload(
+        uns, n_dev, order or HILBERT, cband, mode == Mode.FTL, best)
+
+    idx_bytes, idx_sig = None, b"ix"
+    if index:
+        if best:
+            from ..offsets import KIND_CF, KIND_CF0
+
+            meta16, cfv = extra[0].reshape(-1), extra[1].reshape(-1)
+            kind = meta16 & 7
+            cfm = cfv[(kind == KIND_CF) | (kind == KIND_CF0)].astype(np.uint64)
+            if not (cfm.size and int(cfm.max()) > 0xFFFF):
+                idx_bytes, idx_sig = (glens.astype("<u2").tobytes()
+                                      + meta16.astype("<u2").tobytes()
+                                      + cfm.astype("<u2").tobytes()), b"ib"
+        elif index == "ic":
+            from ..ops.decode_chunked import IC_DEFAULT_K, chunk_spans, pack_ic
+
+            rungs = extra[0].reshape(-1, nb)
+            spans, entry = chunk_spans(glens.astype(np.int64), rungs,
+                                       np.zeros(nb, np.int32), IC_DEFAULT_K)
+            if int(spans.sum()) < 1 << 31:
+                idx_bytes, idx_sig = pack_ic(spans, entry, IC_DEFAULT_K), b"ic"
+        else:
+            idx_bytes = glens.astype("<u2").tobytes()
+
+    header = container.write_headers(w, h, nb, dtype, mode, list(cband),
+                                     quanta, order, idx_bytes, idx_sig)
+    result = header + payload
+    max_size = max_encoded_size(w, h, nb, dtype)
+    if needs_rle(user_mode) and len(result) <= max_size // 2:
+        packed = rle.rle0_encode(payload)
+        if len(packed) < len(payload) and len(packed) <= max_size - len(result):
+            header = container.write_headers(w, h, nb, dtype, user_mode,
+                                             list(cband), quanta, order,
+                                             idx_bytes, idx_sig)
+            return header + packed
+    if img.nbytes <= len(result):
+        hdr = container.write_headers(w, h, nb, dtype, Mode.STORED,
+                                      list(cband), quanta, order)
+        return hdr + img.tobytes()
+    return result
+
+
+def encode_tiles_sharded(tiles: np.ndarray, n_batch: int, n_rows: int,
+                         order: int = HILBERT,
+                         cband: tuple[int, ...] | None = None,
+                         skipstep: bool = True) -> list[bytes]:
+    """2-D mesh variant: a (N, H, W, C) batch sharded over a
+    ("batch", "rows") mesh — tiles data-parallel on one axis, each tile's
+    rows model-parallel on the other (fresh per-tile band state, matching
+    batch.encode_tiles).  Returns one payload per tile, byte-exact with
+    the single-device streams."""
+    from ..api import DT_FROM_NP, max_encoded_size
+    from ..stitch import stitch_words_device
+
+    n, h, w, nb = tiles.shape
+    if len(jax.devices()) < n_batch * n_rows:
+        raise RuntimeError(f"need {n_batch * n_rows} devices")
+    if n % n_batch or h % (B * n_rows):
+        raise QB3ShapeError("batch/rows must split evenly over the mesh")
+    if cband is None:
+        cband = tuple(range(nb))
+    mesh = Mesh(np.array(jax.devices()[: n_batch * n_rows]).reshape(
+        n_batch, n_rows), ("batch", "rows"))
+    ubits = ubits_for(tiles.dtype.itemsize)
+    maxbits = group_bits_bound(tiles.dtype.itemsize * 8, best=False)
+    n_words = (max_encoded_size(w, h // n_rows, nb, DT_FROM_NP[tiles.dtype]) + 3) // 4 + 2
+    fn = _shard_encode_fn(order, tuple(cband), skipstep, ubits, n_words,
+                          "rows", maxbits)
+
+    def tilewise(batch_local):  # (N_l, H_l, W, C) on this device
+        outs = jax.vmap(fn)(batch_local)
+        return outs[0], outs[1]  # (N_l, 1, NW), (N_l, 1)
+
+    mapped = jax.shard_map(tilewise, mesh=mesh,
+                           in_specs=P("batch", "rows"),
+                           out_specs=(P("batch", "rows", None),
+                                      P("batch", "rows")))
+    nw_out = (n_rows * n_words) // 2 + 2
+
+    def run(arr):
+        words, totals = mapped(arr)  # (N, n_rows, NW), (N, n_rows)
+        st = jax.vmap(lambda ws, ts: stitch_words_device(ws, ts, nw_out))(
+            words, totals)
+        return st
+
+    arr = jax.device_put(jnp.asarray(tiles),
+                         NamedSharding(mesh, P("batch", "rows")))
+    stitched, total = jax.jit(run)(arr)
+    stitched, total = np.asarray(stitched), np.asarray(total)
+    return [stitched[i].view(np.uint8)[: (int(total[i]) + 7) // 8].tobytes()
+            for i in range(n)]
 
 
 def _shard_decode_fn(order, cband, apply_step, ubits, tbits, nblocks_l, nbands,

@@ -56,3 +56,50 @@ def stitch_bytes(parts) -> bytes:
     """stitch_words, returned as the payload byte string."""
     words, total = stitch_words(parts)
     return words.view(np.uint8)[: (total + 7) // 8].tobytes()
+
+
+def stitch_words_device(words, totals, n_out: int):
+    """Device-side stitch: per-shard word buffers -> one bit-dense stream.
+
+    words: (S, NW) uint32 on device (per-shard packed streams, bits beyond
+    totals[s] unspecified); totals: (S,) bit lengths; n_out: static output
+    u64 word count (>= ceil(sum(totals)/64) + 1).  Each shard's words are
+    masked, funnel-shifted to its bit phase, and placed at its word offset
+    with two dynamic_update_slices; shards combine with one sum.  O(S*n_out)
+    vector work, no host roundtrip until the final byte copy.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    S, nw32 = words.shape
+    nw64 = (nw32 + 1) // 2
+    w64 = jax.lax.bitcast_convert_type(
+        jnp.pad(words, ((0, 0), (0, nw32 % 2))).reshape(S, nw64, 2),
+        jnp.uint64).reshape(S, nw64)
+    totals = totals.astype(jnp.int64)
+    offs = jnp.cumsum(totals) - totals  # exclusive prefix
+
+    def place(w, nbits, off):
+        # mask bits past nbits (the pack kernels leave garbage there)
+        nwords = (nbits + 63) >> 6
+        lane = jnp.arange(nw64, dtype=jnp.int64)
+        tail = (nbits & 63).astype(jnp.uint64)
+        tmask = jnp.where(tail == 0, ~jnp.uint64(0),
+                          (jnp.uint64(1) << tail) - 1)
+        w = jnp.where(lane < nwords - 1, w,
+                      jnp.where(lane == nwords - 1, w & tmask, 0))
+        sh = (off & 63).astype(jnp.uint64)
+        lo = jnp.where(sh == 0, w, w << sh)
+        prev = jnp.concatenate([jnp.zeros(1, jnp.uint64), w[:-1]])
+        hi = jnp.where(sh == 0, jnp.uint64(0),
+                       prev >> (jnp.uint64(64) - sh))
+        part = lo | hi
+        spill = jnp.where(sh == 0, jnp.uint64(0),
+                          w[-1] >> (jnp.uint64(64) - sh))
+        buf = jnp.zeros(n_out + nw64 + 1, jnp.uint64)
+        buf = jax.lax.dynamic_update_slice(
+            buf, jnp.concatenate([part, spill[None]]), ((off >> 6),))
+        return buf[:n_out]
+
+    placed = jax.vmap(place)(w64, totals, offs)
+    return jnp.sum(placed, axis=0), jnp.sum(totals)

@@ -34,6 +34,37 @@ def to_type(img8: np.ndarray, dtype, mult: int = 1) -> np.ndarray:
     return (img8.astype(dtype) * np.array(mult, dtype=dtype)).astype(dtype)
 
 
+def photo8(h: int, w: int, seed: int = 0) -> np.ndarray:
+    """An RGB image with natural-photo statistics: 1/f^alpha amplitude
+    spectrum with random phase, correlated channels, a tone curve, and
+    sensor-like grain.  Used for CID22-scale studies where the synthetic
+    corpus must compress like real photographs."""
+    rng = np.random.default_rng(seed)
+    alpha = rng.uniform(1.0, 1.6)
+    fy = np.fft.fftfreq(h)[:, None]
+    fx = np.fft.rfftfreq(w)[None, :]
+    f = np.hypot(fy, fx)
+    f[0, 0] = 1.0
+    amp = 1.0 / f ** alpha
+
+    def field():
+        phase = rng.uniform(0, 2 * np.pi, amp.shape)
+        x = np.fft.irfft2(amp * np.exp(1j * phase), s=(h, w))
+        return (x - x.mean()) / (x.std() + 1e-9)
+
+    luma = field()
+    chroma_w = rng.uniform(0.1, 0.35)
+    chans = []
+    for c in range(3):
+        ch = luma + chroma_w * field()
+        ch = (ch - ch.min()) / (np.ptp(ch) + 1e-9)
+        ch = ch ** rng.uniform(0.7, 1.3)  # tone curve
+        chans.append(ch)
+    img = np.stack(chans, axis=-1) * 255
+    img += rng.normal(0, rng.uniform(0.5, 3.0), size=img.shape)  # grain
+    return np.clip(img, 0, 255).astype(np.uint8)
+
+
 REAL_ASSETS = [
     # real-content images that happen to ship with installed packages
     "/opt/venv/lib/python3.12/site-packages/matplotlib/mpl-data/sample_data/grace_hopper.jpg",

@@ -1,12 +1,17 @@
-"""Compression study: QB3 modes vs PNG over a corpus, CID22-style.
+"""Compression + throughput study: QB3 modes vs PNG over a CID22-scale
+corpus (reference: performance/performance.md, CID22_sizes.csv — 248 images,
+512x512 RGB8).  That dataset isn't redistributable here, so the corpus is
+248 seeded photo-statistics synthetics (tests/corpus.photo8: 1/f spectra,
+correlated channels, grain) plus any real images found on the system; any
+folder of PNGs can substitute via --corpus.
 
-The reference ships a CID22 study (performance/performance.md,
-CID22_sizes.csv). That dataset isn't redistributable here, so this tool runs
-the same axes over a seeded synthetic corpus of natural-statistics images
-(or any folder of PNGs via --corpus) and writes performance/REPORT.md plus a
-per-image CSV mirroring CID22_sizes.csv's columns.
+Two sections:
+  sizes  — per-image PNG/FTL/BASE/BEST[/deflate] bytes -> sizes.csv (CPU ok)
+  rates  — device encode+decode MB/s per mode, measured batched on the
+           default backend (run on the TPU; batching amortizes the relay
+           dispatch floor, see BENCH notes)
 
-    python tools/perf_study.py [--n 32] [--size 512] [--corpus DIR]
+    python tools/perf_study.py --n 248 [--skip-rates] [--corpus DIR]
 """
 
 from __future__ import annotations
@@ -35,85 +40,209 @@ def load_corpus(args):
                     arr = arr[:, :, None]
                 yield name, arr
         return
-    from corpus import natural8, real_images
+    from corpus import photo8, real_images
 
     yield from real_images()
     for i in range(args.n):
-        yield f"synthetic{i:03d}", natural8(args.size, args.size, 3, seed=1000 + i)
+        yield f"photo{i:03d}", photo8(args.size, args.size, seed=2000 + i)
 
 
-def png_size(img: np.ndarray) -> tuple[int, float]:
+def png_codec(img: np.ndarray):
     from PIL import Image
 
     buf = io.BytesIO()
     t0 = time.perf_counter()
     Image.fromarray(img if img.shape[2] > 1 else img[:, :, 0]).save(
         buf, format="PNG", optimize=False)
-    return buf.getbuffer().nbytes, time.perf_counter() - t0
+    t_enc = time.perf_counter() - t0
+    buf.seek(0)
+    t0 = time.perf_counter()
+    np.asarray(Image.open(buf))
+    t_dec = time.perf_counter() - t0
+    return buf.getbuffer().nbytes, t_enc, t_dec
 
 
-def main():
-    ap = argparse.ArgumentParser()
-    ap.add_argument("--n", type=int, default=16)
-    ap.add_argument("--size", type=int, default=512)
-    ap.add_argument("--corpus")
-    ap.add_argument("--out", default=os.path.join(os.path.dirname(__file__), "..", "performance"))
-    ap.add_argument("--cpu", action="store_true",
-                    help="force the CPU backend (size study; avoids per-shape "
-                         "TPU compiles)")
-    args = ap.parse_args()
-
-    if args.cpu:
-        import jax
-
-        jax.config.update("jax_platforms", "cpu")
+def size_study(args, out_dir):
     import qb3_tpu
 
-    os.makedirs(args.out, exist_ok=True)
-    cols = ["image", "raw", "png", "ftl", "base", "best", "best_zstd"]
+    cols = ["image", "raw", "png", "ftl", "base", "best", "best_deflate"]
     rows = []
-    times = {m: 0.0 for m in ("png", "ftl", "base", "best")}
+    times = {m: 0.0 for m in ("png_enc", "png_dec")}
     total_raw = 0
     for name, img in load_corpus(args):
         total_raw += img.nbytes
-        pz, tpng = png_size(img)
-        times["png"] += tpng
+        pz, tpe, tpd = png_codec(img)
+        times["png_enc"] += tpe
+        times["png_dec"] += tpd
         sizes = {"png": pz}
         for label, mode in (("ftl", 8), ("base", 4), ("best", 7)):
-            t0 = time.perf_counter()
             s = qb3_tpu.encode(img, mode=mode)
-            times[label] += time.perf_counter() - t0
             sizes[label] = len(s)
             if label == "best":
-                sizes["best_zstd"] = len(zlib.compress(s, 6))  # zstd stand-in
+                sizes["best_deflate"] = len(zlib.compress(s, 6))
         rows.append([name, img.nbytes] + [sizes[c] for c in cols[2:]])
-        print(f"{name}: raw {img.nbytes} png {pz} ftl {sizes['ftl']} "
-              f"base {sizes['base']} best {sizes['best']}")
+        if len(rows) % 25 == 0:
+            print(f"  {len(rows)} images sized", flush=True)
 
-    csv_path = os.path.join(args.out, "sizes.csv")
-    with open(csv_path, "w") as f:
+    with open(os.path.join(out_dir, "sizes.csv"), "w") as f:
         f.write(",".join(cols) + "\n")
         for r in rows:
             f.write(",".join(str(x) for x in r) + "\n")
-
     arr = np.array([r[1:] for r in rows], dtype=np.int64)
-    raw, png, ftl, base, best, bestz = arr.sum(axis=0)
+    return rows, arr.sum(axis=0), total_raw, times
+
+
+def rate_study(args):
+    """Batched device rates per mode on the default backend."""
+    import jax
+    import jax.numpy as jnp
+
+    import qb3_tpu
+    from qb3_tpu import container
+    from qb3_tpu.api import (_best_kernel, _decode_kernel, _fast_kernel,
+                             _parse_best_sidecar, max_encoded_size)
+    from qb3_tpu.batch import _batch_decode_kernel, _batch_encode_kernel
+    from qb3_tpu.constants import HILBERT, Mode
+    from qb3_tpu.ops.decode import payload_words
+    from corpus import photo8
+
+    def sustained(fn, iters=12):
+        jax.block_until_ready(fn())
+        t0 = time.perf_counter()
+        outs = [fn() for _ in range(iters)]
+        jax.block_until_ready(outs)
+        return (time.perf_counter() - t0) / iters
+
+    h = w = args.size
+    nb = 3
+    NBATCH = 16
+    tiles = np.stack([photo8(h, w, seed=3000 + i) for i in range(NBATCH)])
+    raw_mb = tiles[0].nbytes / 1e6
+    n_words = (max_encoded_size(w, h, nb, 0) + 3) // 4 + 2
+    rates = {}
+    for label, mode in (("ftl", Mode.FTL), ("base", Mode.BASE_H)):
+        ek = _batch_encode_kernel(NBATCH, (h, w, nb), "uint8", HILBERT,
+                                  (1, 1, 1), mode == Mode.FTL, n_words)
+        dt = jax.device_put(jnp.asarray(tiles))
+        t_enc = sustained(lambda: ek(dt)) / NBATCH
+        from qb3_tpu.batch import encode_tiles
+        streams = encode_tiles(tiles, mode=mode, index=True)
+        infos = [container.parse_headers(s) for s in streams]
+        wl = [payload_words(s[i.data_offset:]) for s, i in zip(streams, infos)]
+        nw = 1 << max(4, int(np.ceil(np.log2(max(len(x) for x in wl)))))
+        wp = np.zeros((NBATCH, nw), np.uint64)
+        for j, x in enumerate(wl):
+            wp[j, : len(x)] = x
+        gl = np.stack([np.frombuffer(i.index, dtype="<u2").astype(np.int32)
+                       for i in infos])
+        nblocks = (h // 4) * (w // 4)
+        dk = _batch_decode_kernel(NBATCH, nblocks, nb, h, w, HILBERT,
+                                  tuple(infos[0].cband), mode != Mode.FTL,
+                                  "uint8", nw)
+        dwp, dgl = jax.device_put(jnp.asarray(wp)), jax.device_put(jnp.asarray(gl))
+        out = dk(dwp, dgl)
+        assert (np.asarray(out) == tiles).all(), label
+        t_dec = sustained(lambda: dk(dwp, dgl)) / NBATCH
+        rates[label] = (raw_mb / t_enc, raw_mb / t_dec)
+        print(f"  {label}: enc {rates[label][0]:.0f} dec {rates[label][1]:.0f} MB/s",
+              flush=True)
+
+    # BEST: single-dispatch kernels (batch path covers fast modes only)
+    img = tiles[0]
+    ek = _best_kernel((h, w, nb), "uint8", HILBERT, (1, 1, 1), n_words)
+    dimg = jax.device_put(jnp.asarray(img))
+    t_enc = sustained(lambda: ek(dimg, jnp.zeros(nb, jnp.uint8),
+                                 jnp.zeros(nb, jnp.int32),
+                                 jnp.zeros(nb, jnp.uint8)))
+    s = qb3_tpu.encode(img, mode=Mode.CF_H, index="ib")
+    info = container.parse_headers(s)
+    wordsv = payload_words(s[info.data_offset:])
+    nw = 1 << max(4, int(np.ceil(np.log2(len(wordsv)))))
+    wp = np.zeros(nw, np.uint64)
+    wp[: len(wordsv)] = wordsv
+    nblocks = (h // 4) * (w // 4)
+    kind, val_pos, vrung, cf = _parse_best_sidecar(info.index_best, nblocks * nb)
+    dk = _decode_kernel(nblocks, nb, h, w, HILBERT, tuple(info.cband), True,
+                        "uint8", nw)
+    dargs = (jax.device_put(jnp.asarray(wp)), jnp.asarray(kind),
+             jnp.asarray(val_pos), jnp.asarray(vrung), jnp.asarray(cf),
+             jnp.zeros(nb, jnp.uint64))
+    out = dk(*dargs)
+    assert (np.asarray(out[0]) == img).all()
+    t_dec = sustained(lambda: dk(*dargs))
+    rates["best"] = (raw_mb / t_enc, raw_mb / t_dec)
+    print(f"  best: enc {rates['best'][0]:.0f} dec {rates['best'][1]:.0f} MB/s",
+          flush=True)
+    return rates
+
+
+def main():
+    """Two-pass protocol (backend is fixed per process):
+      1. python tools/perf_study.py --skip-sizes           # on the TPU
+      2. python tools/perf_study.py --skip-rates --cpu     # sizes + report
+    Pass 1 writes performance/rates.json; pass 2 reads it."""
+    import json
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--n", type=int, default=248)
+    ap.add_argument("--size", type=int, default=512)
+    ap.add_argument("--corpus")
+    ap.add_argument("--skip-rates", action="store_true")
+    ap.add_argument("--skip-sizes", action="store_true")
+    ap.add_argument("--cpu", action="store_true",
+                    help="force the CPU backend (size pass; avoids relay "
+                         "transfers for 248 single-image encodes)")
+    ap.add_argument("--out", default=os.path.join(os.path.dirname(__file__), "..", "performance"))
+    args = ap.parse_args()
+
+    import jax
+
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+    os.makedirs(args.out, exist_ok=True)
+    rates_path = os.path.join(args.out, "rates.json")
+    rates = None
+    if not args.skip_rates:
+        print("rates (device, batched):", flush=True)
+        rates = rate_study(args)
+        with open(rates_path, "w") as f:
+            json.dump(rates, f)
+    elif os.path.exists(rates_path):
+        rates = json.load(open(rates_path))
+    if args.skip_sizes:
+        return
+    print("sizes:", flush=True)
+    rows, (raw, png, ftl, base, best, bestz), total_raw, times = size_study(args, args.out)
     n = len(rows)
     mb = total_raw / 1e6
-    report = f"""# qb3-tpu compression study
 
-Corpus: {n} images, {total_raw} raw bytes
-({'folder ' + args.corpus if args.corpus else f'synthetic natural-statistics {args.size}x{args.size} RGB'}).
-Mirrors the reference CID22 study axes (performance/performance.md).
+    def rate_cols(label):
+        if rates and label in rates:
+            return f"{rates[label][0]:.0f} | {rates[label][1]:.0f}"
+        return "— | —"
 
-| codec | total bytes | vs raw | savings vs PNG | encode MB/s (host e2e) |
-|---|---|---|---|---|
-| PNG (Pillow/zlib) | {png} | {100*png/raw:.2f}% | — | {mb/times['png']:.1f} |
-| QB3 FTL | {ftl} | {100*ftl/raw:.2f}% | {100*(png-ftl)/png:.2f}% | {mb/times['ftl']:.1f} |
-| QB3 BASE | {base} | {100*base/raw:.2f}% | {100*(png-base)/png:.2f}% | {mb/times['base']:.1f} |
-| QB3 BEST | {best} | {100*best/raw:.2f}% | {100*(png-best)/png:.2f}% | {mb/times['best']:.1f} |
-| QB3 BEST + deflate | {bestz} | {100*bestz/raw:.2f}% | {100*(png-bestz)/png:.2f}% | — |
+    report = f"""# qb3-tpu compression + throughput study (CID22-scale)
 
+Corpus: {n} images, {total_raw:,} raw bytes
+({'folder ' + args.corpus if args.corpus else
+  f'photo-statistics synthetics, {args.size}x{args.size} RGB8 (tests/corpus.photo8)'}).
+Mirrors the reference CID22 study (performance/performance.md:89-155;
+reference rates there: FTL 397.76 / BASE 327.44 / BEST 160.93 MB/s encode,
+354.57 MB/s decode, one Zen3 core).
+
+| codec | total bytes | vs raw | savings vs PNG | device enc MB/s | device dec MB/s |
+|---|---|---|---|---|---|
+| PNG (Pillow/zlib) | {png:,} | {100*png/raw:.2f}% | — | {mb/times['png_enc']:.1f} (host) | {mb/times['png_dec']:.1f} (host) |
+| QB3 FTL | {ftl:,} | {100*ftl/raw:.2f}% | {100*(png-ftl)/png:.2f}% | {rate_cols('ftl')} |
+| QB3 BASE | {base:,} | {100*base/raw:.2f}% | {100*(png-base)/png:.2f}% | {rate_cols('base')} |
+| QB3 BEST | {best:,} | {100*best/raw:.2f}% | {100*(png-best)/png:.2f}% | {rate_cols('best')} |
+| QB3 BEST + deflate | {bestz:,} | {100*bestz/raw:.2f}% | {100*(png-bestz)/png:.2f}% | — | — |
+
+QB3 streams are byte-identical to the reference implementation's, so the
+size columns equal the reference codec's on this corpus by construction.
+Device rates are batched (16 tiles/dispatch for FTL/BASE; single dispatch
+for BEST) on {jax.default_backend()}; each dispatch pays ~1.2 ms of relay
+latency in this environment, which production TPU hosts do not have.
 Per-image sizes: sizes.csv. Reference published numbers: ../BASELINE.md.
 """
     with open(os.path.join(args.out, "REPORT.md"), "w") as f:
