@@ -56,7 +56,7 @@ def mode_matrix():
     from qb3_tpu.api import (_best_kernel, _decode_kernel, _decode_kernel_chunked,
                              _decode_kernel_indexed, _fast_kernel,
                              _indexed_window_R, _parse_best_sidecar,
-                             max_encoded_size)
+                             _window_R_from_pos, max_encoded_size)
     from qb3_tpu.constants import HILBERT, Mode
     from qb3_tpu.ops.decode import payload_words
     from qb3_tpu.ops.decode_chunked import parse_ic
@@ -122,8 +122,9 @@ def mode_matrix():
         if mode == Mode.CF_H:
             kind, val_pos, vrung, cf = _parse_best_sidecar(
                 info.index_best, nblocks * nb)
+            Rb = _window_R_from_pos(val_pos, tb) if tb <= 16 else None
             dk = _decode_kernel(nblocks, nb, h, w, order, tuple(info.cband),
-                                True, np.dtype(npdt).name, nw)
+                                True, np.dtype(npdt).name, nw, Rb)
             dargs = (dw, jnp.asarray(kind), jnp.asarray(val_pos),
                      jnp.asarray(vrung), jnp.asarray(cf), zp)
         elif info.index_chunked is not None:

@@ -467,14 +467,32 @@ def _decode_kernel_chunked(nblocks, nbands, h, w, order, cband, apply_step,
     return jax.jit(run)
 
 
+def _window_R_from_pos(val_pos, tbits: int, G: int = 128) -> int:
+    """Window word count for decode_groups_fused from actual group starts."""
+    nreg = 8 if tbits == 8 else 14
+    b = np.asarray(val_pos, np.int64).reshape(-1) >> 5
+    n = b.shape[0]
+    starts = (b[::G] >> 7) << 7
+    last = b[np.minimum(np.arange(len(starts)) * G + G - 1, n - 1)]
+    R = int((last - starts).max()) + nreg + 2
+    return max(256, -(-R // 256) * 256)
+
+
 @functools.lru_cache(maxsize=64)
-def _decode_kernel(nblocks, nbands, h, w, order, cband, apply_step, npdtype, n_words):
-    from .ops.decode import decode_groups, reconstruct
+def _decode_kernel(nblocks, nbands, h, w, order, cband, apply_step, npdtype,
+                   n_words, R=None):
+    from .ops.decode import decode_groups, decode_groups_fused, reconstruct
 
     out_dtype = np.dtype(npdtype)
+    tbits = out_dtype.itemsize * 8
 
     def run(words64, kind, val_pos, vrung, cf, entry_prev):
-        g, _ = decode_groups(words64, kind, val_pos, vrung, cf, apply_step)
+        if tbits <= 16:
+            g = decode_groups_fused(words64, kind, val_pos, vrung, cf,
+                                    apply_step, tbits,
+                                    jax.default_backend() == "tpu", R)
+        else:
+            g, _ = decode_groups(words64, kind, val_pos, vrung, cf, apply_step)
         g = g.reshape(nblocks, nbands, B2)
         img, exit_prev = reconstruct(g, entry_prev, h, w, nbands, order, cband, out_dtype)
         return img, exit_prev
@@ -610,8 +628,10 @@ class Decoder:
             meta = _parse_best_sidecar(info.index_best, nblocks * nb)
             if meta is not None:
                 kind, val_pos, vrung, cf = meta
+                tb = np.dtype(uns_dt).itemsize * 8
+                R = _window_R_from_pos(val_pos, tb) if tb <= 16 else None
                 kern = _decode_kernel(nblocks, nb, h, w, order, tuple(info.cband),
-                                      True, np.dtype(uns_dt).name, n_words)
+                                      True, np.dtype(uns_dt).name, n_words, R)
                 img, _ = kern(jnp.asarray(wpad), jnp.asarray(kind),
                               jnp.asarray(val_pos), jnp.asarray(vrung),
                               jnp.asarray(cf), jnp.zeros(nb, dtype=jnp.uint64))
@@ -629,8 +649,11 @@ class Decoder:
         else:
             meta = parse_offsets(data, nblocks, nb, np.dtype(uns_dt).itemsize, info.mode)
             self.decode_path = "python-walk"
+        tb = np.dtype(uns_dt).itemsize * 8
+        R = _window_R_from_pos(meta["val_pos"], tb) if tb <= 16 else None
         kern = _decode_kernel(nblocks, nb, h, w, order, tuple(info.cband),
-                              info.mode != Mode.FTL, np.dtype(uns_dt).name, n_words)
+                              info.mode != Mode.FTL, np.dtype(uns_dt).name,
+                              n_words, R)
         img, _ = kern(
             jnp.asarray(wpad),
             jnp.asarray(meta["kind"].reshape(-1)),

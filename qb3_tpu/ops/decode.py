@@ -18,7 +18,7 @@ import numpy as np
 from .. import tables as T
 from ..constants import B, B2, curve_offsets
 from ..offsets import KIND_BITS, KIND_CF, KIND_CF0, KIND_IDX, KIND_NORMAL, KIND_ZERO
-from .bitutils import magsmul, peek64, smag, step_flip_index, topbit
+from .bitutils import magsabs, magsmul, peek64, smag, step_flip_index, topbit
 from .encode import block_origins
 
 _DEC_GROUP_LEN = jnp.asarray(T.DEC_GROUP[:, :, 0].astype(np.int32))
@@ -360,6 +360,158 @@ def decode_groups_regwindow(words64, kind, val_pos, vrung, cf, apply_step: bool,
         flip = do[:, None] & (lane[None, :] == ones[:, None]) & (ones[:, None] < B2)
         g = g ^ (jnp.where(flip, 1, 0).astype(W) << vrung[:, None].astype(W))
     return g, pos
+
+
+def _vlc_decode_plain(w, rung, W):
+    """Base 3-range decode with NO swap (index codes; tables.py IDX_DEC)."""
+    one = jnp.ones((), W)
+    r = jnp.maximum(rung, 1)
+    rw = r.astype(W)
+    rbit = one << rw
+    short = (w & 1) == 0
+    n = (w >> 1) & 1
+    vmask = rbit - 1
+    v = jnp.where(short, (w & vmask) >> 1,
+        jnp.where(n == 0, ((w >> 2) & vmask) | (rbit >> 1),
+                  ((w >> 2) & vmask) | rbit))
+    return v, jnp.where(short, r, r + 1 + n.astype(jnp.int32))
+
+
+def _vlc_decode_single(w, rung, W):
+    """Single-value context decode: plain VLC + the rung 3..7 middle swap
+    (CF values, index uniques; tables.py DEC_SINGLE)."""
+    v, ln = _vlc_decode_plain(w, rung, W)
+    a = (jnp.ones((), W) << jnp.clip(rung, 0, 7).astype(W)) - 1
+    do = (rung >= 3) & (rung <= 7)
+    v = jnp.where(do & (v == a), a + 1, jnp.where(do & (v == a + 1), a, v))
+    # rung 0: one literal bit
+    return (jnp.where(rung == 0, w & 1, v),
+            jnp.where(rung == 0, 1, ln))
+
+
+def decode_groups_fused(words64, kind, val_pos, vrung, cf, apply_step: bool,
+                        tbits: int, use_mxu: bool, R: int | None = None):
+    """Register-window wavefront for 8/16-bit streams INCLUDING the extended
+    encodings (CF/index groups): one MXU one-hot gather per group, then the
+    16-value walk + the uniques pass run on in-register windows.  Replaces
+    decode_groups' per-element peek64 gathers on the hot best-mode path.
+    """
+    W = jnp.uint32
+    ngroups = kind.shape[0]
+    is_zero = kind == KIND_ZERO
+    onebit = (kind == KIND_BITS) | (kind == KIND_CF0)
+    is_idx = kind == KIND_IDX
+    is_group = (kind == KIND_NORMAL) | (kind == KIND_CF)
+
+    # whole-group span incl. uniques fits NREG words from any 32-bit phase
+    NREG = 8 if tbits == 8 else 14
+    base = (val_pos >> 5).astype(jnp.int32)
+    off0 = (val_pos & 31).astype(jnp.int32)
+    words32 = jax.lax.bitcast_convert_type(words64, jnp.uint32).reshape(-1)
+    if use_mxu:
+        from .gather import gather_slabs_onehot
+
+        G = 128
+        pad = (-ngroups) % G
+        basep = jnp.concatenate([base, jnp.broadcast_to(base[-1], (pad,))]) if pad else base
+        if R is None:
+            gmax = 224 if tbits == 8 else 376
+            R = -(-((G * gmax) // 32 + NREG + 130) // 128) * 128
+        regs_arr = gather_slabs_onehot(words32, basep, G, NREG, R)[:ngroups]
+    else:
+        regs_arr = words32[base[:, None] + jnp.arange(NREG)[None, :]]
+    regs = [regs_arr[:, i] for i in range(NREG)]
+    regs += [jnp.zeros_like(regs[0]), jnp.zeros_like(regs[0])]
+
+    if tbits == 8:
+        def window(off):
+            wi = off >> 5
+            sh = (off & 31).astype(W)
+            lo = regs[NREG - 1]
+            hi = regs[NREG]
+            for i in range(NREG - 2, -1, -1):
+                lo = jnp.where(wi == i, regs[i], lo)
+                hi = jnp.where(wi == i, regs[i + 1], hi)
+            return (lo >> sh) | jnp.where(sh == 0, W(0), hi << ((W(32) - sh) & 31))
+    else:
+        def window(off):
+            wi = off >> 5
+            sh = (off & 31).astype(jnp.uint64)
+            lo = regs[NREG - 1]
+            hi = regs[NREG]
+            w2 = regs[NREG + 1]
+            for i in range(NREG - 2, -1, -1):
+                lo = jnp.where(wi == i, regs[i], lo)
+                hi = jnp.where(wi == i, regs[i + 1], hi)
+            for i in range(NREG - 3, -1, -1):
+                w2 = jnp.where(wi == i, regs[i + 2], w2)
+            w = lo.astype(jnp.uint64) | (hi.astype(jnp.uint64) << 32)
+            w = w >> sh
+            return w | jnp.where(sh == 0, jnp.uint64(0),
+                                 w2.astype(jnp.uint64) << ((jnp.uint64(64) - sh) & 63))
+
+    per = 3
+    takes = np.minimum(per, B2 - np.arange(0, B2, per))
+
+    def body(off, take):
+        w = window(off)
+        shift = jnp.zeros_like(off)
+        outs = []
+        for t in range(per):
+            ww = (w >> shift.astype(w.dtype)).astype(W)
+            gv, gl = _vlc_decode_arith(ww, vrung, W)
+            iv, il = _vlc_decode_plain(ww, jnp.full_like(vrung, 2), W)
+            v = jnp.where(is_group, gv,
+                jnp.where(is_idx, iv,
+                jnp.where(onebit, ww & 1, W(0))))
+            ln = jnp.where(is_group, gl,
+                 jnp.where(is_idx, il,
+                 jnp.where(onebit, 1, 0)))
+            live = t < take
+            outs.append(jnp.where(live, v, 0))
+            shift = shift + jnp.where(live, ln, 0)
+        return (off + shift).astype(jnp.int32), jnp.stack(outs, axis=-1)
+
+    off, vals = jax.lax.scan(body, off0, jnp.asarray(takes))
+    g = jnp.moveaxis(vals, 0, 1).reshape(ngroups, -1)[:, :B2]
+
+    # uniques pass for index groups (<= 8 singles at vrung)
+    maxidx = jnp.max(jnp.where(is_idx[:, None], g, 0), axis=-1).astype(jnp.int32)
+
+    def ubody(off, u):
+        live = is_idx & (u <= maxidx)
+        w = window(off)
+        uv, ul = _vlc_decode_single(w.astype(W) if tbits == 8 else
+                                    (w & jnp.uint64(0xFFFFFFFF)).astype(W),
+                                    vrung, W)
+        return (off + jnp.where(live, ul, 0)).astype(jnp.int32), \
+            jnp.where(live, uv, 0)
+
+    off, uniqs = jax.lax.scan(ubody, off, jnp.arange(B2 // 2))
+    uq = jnp.moveaxis(uniqs, 0, -1)  # (n, 8)
+    gi = jnp.sum(jnp.where(
+        (jnp.clip(g, 0, 7).astype(jnp.int32)[..., None]
+         == jnp.arange(B2 // 2, dtype=jnp.int32)[None, None, :]),
+        uq[:, None, :], 0), axis=-1)
+    g = jnp.where(is_idx[:, None], gi, g)
+
+    # step restore (CF always; NORMAL unless FTL)
+    restore = (kind == KIND_CF) if not apply_step else is_group
+    match, ones = step_flip_index(g, vrung)
+    lane = jnp.arange(B2, dtype=jnp.int32)
+    do = restore & match & (vrung >= 1)
+    flip = do[:, None] & (lane[None, :] == ones[:, None]) & (ones[:, None] < B2)
+    g = g ^ (jnp.where(flip, 1, 0).astype(W) << vrung[:, None].astype(W))
+
+    # CF multiply-back / CF0 expansion, masked to the element width
+    cfv = cf.astype(W)
+    mask = W((1 << tbits) - 1)
+    mm = (magsabs(g) * (cfv[:, None] << 1) - (g & 1)) & mask
+    g = jnp.where((kind == KIND_CF)[:, None], mm, g)
+    neg = (((cfv - 1) << 1) | 1) & mask
+    g = jnp.where((kind == KIND_CF0)[:, None],
+                  jnp.where(g != 0, neg[:, None], 0), g)
+    return g
 
 
 def decode_groups(words64, kind, val_pos, vrung, cf, apply_step: bool,

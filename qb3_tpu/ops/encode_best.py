@@ -47,7 +47,9 @@ def group_gcd(m, W):
     """
     a = magsabs(m).astype(W)
     width = a.shape[-1]
-    tbits = jnp.iinfo(W).bits
+    # convergence bound tracks the DATA width: magnitudes are < 2^tbits(m),
+    # so 2*(tbits+1) subtract/halve rounds always finish
+    tbits = jnp.iinfo(m.dtype).bits + 1
     one = jnp.ones((), W)
 
     def ctz(v):
@@ -146,7 +148,10 @@ def index_candidate(m, rung, oldrung, ubits: int):
     nuniq = jnp.sum(is_first, axis=-1)  # (nb, C)
     valid = nuniq <= B2 // 2
     rank = jnp.cumsum(is_first, axis=-1) - 1  # rank of first occurrence
-    uid = jnp.take_along_axis(rank, first_occ, axis=-1)  # (nb, C, 16) in 0..15
+    # uid[i] = rank of i's first occurrence; all tiny (16/8-wide) gathers
+    # here are one-hot sums — XLA:TPU per-element gathers cost ~10ns each
+    uid = jnp.sum(jnp.where(eq & is_first[..., None, :], rank[..., None, :], 0),
+                  axis=-1)  # (nb, C, 16) in 0..15
     uid8 = jnp.clip(uid, 0, B2 // 2 - 1)  # safe when invalid
     # counts and first-seen position per unique slot
     onehot = (uid8[..., None] == jnp.arange(B2 // 2)[None, None, None, :])
@@ -156,8 +161,9 @@ def index_candidate(m, rung, oldrung, ubits: int):
     # QB3encode.h:546-554): key = -count, argsort is stable
     order = jnp.argsort(jnp.where(slot_live, -counts, 99), axis=-1, stable=True)
     # position of each unique slot in the sorted order (inverse permutation)
-    inv = jnp.argsort(order, axis=-1, stable=True)
-    final_idx = jnp.take_along_axis(inv, uid8, axis=-1)  # (nb, C, 16) in 0..7
+    order1h = order[..., None] == jnp.arange(B2 // 2)[None, None, None, :]
+    inv = jnp.sum(jnp.where(order1h, jnp.arange(B2 // 2)[..., None], 0), axis=-2)
+    final_idx = jnp.sum(jnp.where(onehot, inv[..., None, :], 0), axis=-1)
     # plain rung-2 index code (no swap in single context at rung 2)
     idx_codes, idx_lens = single_codes(final_idx.astype(W),
                                        jnp.full(final_idx.shape, 2, jnp.int32))
@@ -165,9 +171,11 @@ def index_candidate(m, rung, oldrung, ubits: int):
     uniq_vals_slot = jnp.sum(jnp.where(is_first, mW, 0)[..., None] *
                              (rank[..., None] == jnp.arange(B2 // 2)[None, None, None, :]).astype(W),
                              axis=-2)  # value of unique slot u (first-seen order)
-    uniq_sorted = jnp.take_along_axis(uniq_vals_slot, order, axis=-1)
+    uniq_sorted = jnp.sum(jnp.where(order1h, uniq_vals_slot[..., None, :], 0),
+                          axis=-1)
     uc, ul = single_codes(uniq_sorted, jnp.broadcast_to(rung[..., None], uniq_sorted.shape))
-    live_sorted = jnp.take_along_axis(slot_live, order, axis=-1)
+    live_sorted = jnp.sum(jnp.where(order1h, slot_live[..., None, :], 0),
+                          axis=-1) > 0
     ul = jnp.where(live_sorted, ul, 0)
     uc = jnp.where(live_sorted, uc, 0)
     # prefix: SIGNAL + flagless cs(max-oldrung) + flagless cs(rung-oldrung)
@@ -264,18 +272,21 @@ def pcf_scan(is_set, set_val, entry_cf):
     """Per-band 'last set wins' scan over blocks (axis 0).
 
     is_set: (nb, C) bool; set_val: (nb, C) uint; entry_cf: (C,).
-    Returns pcf_in per block and the exit state.
+    Returns pcf_in per block and the exit state.  Implemented as one
+    log-depth associative scan (combine = take the right element if it is
+    set) — no per-element gathers.
     """
-    nb = is_set.shape[0]
-    idx = jnp.where(is_set, jnp.arange(nb, dtype=jnp.int32)[:, None], -1)
-    last_incl = jax.lax.cummax(idx, axis=0)
-    last_excl = jnp.concatenate(
-        [jnp.full_like(last_incl[:1], -1), last_incl[:-1]], axis=0)
-    gathered = jnp.take_along_axis(set_val, jnp.clip(last_excl, 0, None), axis=0)
-    pcf_in = jnp.where(last_excl >= 0, gathered, entry_cf[None, :])
-    gathered_end = jnp.take_along_axis(set_val, jnp.clip(last_incl[-1:], 0, None), axis=0)[0]
-    exit_cf = jnp.where(last_incl[-1] >= 0, gathered_end, entry_cf)
-    return pcf_in, exit_cf
+    def combine(a, b):
+        av, aset = a
+        bv, bset = b
+        return jnp.where(bset, bv, av), aset | bset
+
+    vals, seen = jax.lax.associative_scan(
+        combine, (set_val, is_set), axis=0)
+    incl = jnp.where(seen, vals, entry_cf[None, :])
+    pcf_in = jnp.concatenate([entry_cf[None, :].astype(set_val.dtype),
+                              incl[:-1]], axis=0)
+    return pcf_in, incl[-1]
 
 
 def encode_best_blocks(img, entry_prev, entry_runbits, entry_cf, order: int,
