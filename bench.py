@@ -108,8 +108,7 @@ def mode_matrix():
         t_enc = sustained(lambda: ek(*args), 15)
 
         # device decode via the best applicable sidecar path
-        idx_kind = "ib" if mode == Mode.CF_H else (
-            "ic" if npdt in (np.uint32, np.uint64) else True)
+        idx_kind = "ib" if mode == Mode.CF_H else True
         sidx = qb3_tpu.encode(img, mode=mode, index=idx_kind)
         info = container.parse_headers(sidx)
         wordsv = payload_words(sidx[info.data_offset:])
@@ -136,7 +135,7 @@ def mode_matrix():
                      jnp.asarray(entry), zp)
         else:
             glens = np.frombuffer(info.index, dtype="<u2").astype(np.int32)
-            R = _indexed_window_R(glens, tb) if tb <= 16 else None
+            R = _indexed_window_R(glens, tb)
             dk = _decode_kernel_indexed(nblocks, nb, h, w, order,
                                         tuple(info.cband), mode != Mode.FTL,
                                         np.dtype(npdt).name, nw, R)

@@ -410,7 +410,7 @@ def _parse_best_sidecar(buf: bytes, ngroups: int):
 def _indexed_window_R(glens: np.ndarray, tbits: int, G: int = 128) -> int:
     """Window word count for the register gather (ops/gather.py), from the
     actual per-tile spans in the sidecar (bucketed to limit recompiles)."""
-    nreg = 8 if tbits == 8 else 12
+    nreg = {8: 8, 16: 12, 32: 20, 64: 36}[tbits]
     bits = np.concatenate([[0], np.cumsum(glens.astype(np.int64))])
     starts = bits[:-1:G] // 32
     spans = np.diff(np.concatenate([starts, [bits[-1] // 32 + 1]]))
@@ -422,24 +422,17 @@ def _indexed_window_R(glens: np.ndarray, tbits: int, G: int = 128) -> int:
 def _decode_kernel_indexed(nblocks, nbands, h, w, order, cband, apply_step, npdtype, n_words,
                            R=None):
     from .constants import ubits_for
-    from .ops.decode import (decode_groups, decode_groups_regwindow, indexed_meta,
-                             reconstruct)
+    from .ops.decode import reconstruct
 
     out_dtype = np.dtype(npdtype)
     ubits = ubits_for(out_dtype.itemsize)
     tbits = out_dtype.itemsize * 8
 
     def run(words64, glens, entry_prev):
-        if tbits <= 16:
-            from .ops.decode import decode_indexed_narrow
-            g = decode_indexed_narrow(words64, glens, nblocks, nbands,
-                                      apply_step,
-                                      jax.default_backend() == "tpu", tbits, R)
-        else:
-            kind, val_pos, vrung, cf = indexed_meta(words64, glens, nblocks,
-                                                    nbands, ubits)
-            g, _ = decode_groups(words64, kind, val_pos, vrung, cf,
-                                 apply_step, has_extended=False)
+        from .ops.decode import decode_indexed_narrow
+        g = decode_indexed_narrow(words64, glens, nblocks, nbands,
+                                  apply_step,
+                                  jax.default_backend() == "tpu", tbits, R)
         g = g.reshape(nblocks, nbands, B2)
         img, exit_prev = reconstruct(g, entry_prev, h, w, nbands, order, cband, out_dtype)
         return img, exit_prev
@@ -614,7 +607,7 @@ class Decoder:
                 glens = cand.astype(np.int32)
         if glens is not None:
             tb = np.dtype(uns_dt).itemsize * 8
-            R = _indexed_window_R(glens, tb) if tb <= 16 else None
+            R = _indexed_window_R(glens, tb)
             kern = _decode_kernel_indexed(
                 nblocks, nb, h, w, order, tuple(info.cband),
                 info.mode != Mode.FTL, np.dtype(uns_dt).name, n_words, R)

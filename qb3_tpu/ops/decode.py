@@ -94,20 +94,24 @@ def indexed_meta(words64, glens, nblocks: int, nbands: int, ubits: int):
             rung.reshape(-1), cf.reshape(-1))
 
 
+_NREG_IX = {8: 8, 16: 12, 32: 20, 64: 36}
+_GMAX_IX = {8: 150, 16: 280, 32: 540, 64: 1056}
+
+
 def decode_indexed_narrow(words64, glens, nblocks: int, nbands: int,
                           apply_step: bool, use_pallas: bool, tbits: int = 8,
                           R: int | None = None):
-    """Fused sidecar-indexed decode for 8/16-bit streams.
+    """Fused sidecar-indexed decode, all element widths.
 
-    One gather per group loads its register window (via the Pallas lane-mask
-    kernel on TPU — per-element XLA gathers otherwise); the codeswitch
-    parse, rung prefix sum, and the 16-value wavefront all run on those
-    in-register windows with no further memory access.  8-bit groups span
-    at most 150 bits (8 u32 regs, 32-bit value windows); 16-bit groups at
-    most 279 (12 u32 regs, 64-bit value windows).
+    One MXU one-hot gather per group loads its register window; the
+    codeswitch parse, rung prefix sum, and the 16-value wavefront all run
+    on those in-register windows with no further memory access.  Groups
+    span at most 150/280/540/1056 bits (8/12/20/36 u32 regs); 8-bit lanes
+    use 32-bit value windows, wider types 64-bit windows (u64 includes the
+    rung-63 65-bit long form).
     """
-    W = jnp.uint32
-    ubits = 3 if tbits == 8 else 4
+    W = jnp.uint32 if tbits <= 16 else jnp.uint64
+    ubits = {8: 3, 16: 4, 32: 5, 64: 6}[tbits]
     nmask = (1 << ubits) - 1
     ngroups = nblocks * nbands
     # int32 bit cursors: callers guard total bits < 2^31 (api._decode_core)
@@ -116,8 +120,8 @@ def decode_indexed_narrow(words64, glens, nblocks: int, nbands: int,
     base = (goff >> 5).astype(jnp.int32)
     off0 = (goff & 31).astype(jnp.int32)
 
-    NREG = 8 if tbits == 8 else 12
-    gmax = 150 if tbits == 8 else 280
+    NREG = _NREG_IX[tbits]
+    gmax = _GMAX_IX[tbits]
     words32 = jax.lax.bitcast_convert_type(words64, jnp.uint32).reshape(-1)
     if use_pallas:
         # MXU one-hot gather (gather.py): ~4x the masked-sum Pallas kernel
@@ -132,7 +136,8 @@ def decode_indexed_narrow(words64, glens, nblocks: int, nbands: int,
     else:
         regs_arr = words32[base[:, None] + jnp.arange(NREG)[None, :]]
     regs = [regs_arr[:, i] for i in range(NREG)]
-    regs += [jnp.zeros_like(base).astype(W), jnp.zeros_like(base).astype(W)]
+    regs += [jnp.zeros_like(base).astype(jnp.uint32),
+             jnp.zeros_like(base).astype(jnp.uint32)]
 
     def sel(wi, k):
         out = regs[NREG - 1 + k]
@@ -143,10 +148,10 @@ def decode_indexed_narrow(words64, glens, nblocks: int, nbands: int,
     if tbits == 8:
         def window(off):
             wi = off >> 5
-            sh = (off & 31).astype(W)
+            sh = (off & 31).astype(jnp.uint32)
             lo = sel(wi, 0)
             hi = sel(wi, 1)
-            high = jnp.where(sh == 0, W(0), hi << ((W(32) - sh) & 31))
+            high = jnp.where(sh == 0, jnp.uint32(0), hi << ((jnp.uint32(32) - sh) & 31))
             return (lo >> sh) | high
     else:
         def window(off):
@@ -175,7 +180,7 @@ def decode_indexed_narrow(words64, glens, nblocks: int, nbands: int,
     is_group = ~rung0
     off = off0 + cs_len + jnp.where(rung0, 1, 0)
 
-    per = 3
+    per = {8: 3, 16: 3, 32: 1, 64: 1}[tbits]
     takes = np.minimum(per, B2 - np.arange(0, B2, per))
 
     if tbits == 8:
@@ -224,6 +229,12 @@ def decode_indexed_narrow(words64, glens, nblocks: int, nbands: int,
             for t in range(per):
                 ww = (w >> shift.astype(w.dtype)).astype(W)
                 gv, gl = _vlc_decode_arith(ww, rung, W)
+                if tbits == 64:
+                    # rung-63 long form is 65 bits; bit 62 of the value is
+                    # the stream bit just past the 64-bit window
+                    ovf = is_group & (gl == 65)
+                    extra = window(off + shift + 64) & 1
+                    gv = gv | jnp.where(ovf, extra << 62, jnp.uint64(0))
                 v = jnp.where(is_group, gv, jnp.where(is_bits, ww & 1, W(0)))
                 ln = jnp.where(is_group, gl, jnp.where(is_bits, 1, 0))
                 live = t < take

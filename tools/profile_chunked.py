@@ -56,7 +56,7 @@ def main():
         wpad[: len(wordsv)] = wordsv
         glens = np.frombuffer(info.index, dtype="<u2").astype(np.int32)
         tb = np.dtype(npdt).itemsize * 8
-        R = _indexed_window_R(glens, tb) if tb <= 16 else None
+        R = _indexed_window_R(glens, tb)
         dk = _decode_kernel_indexed(nblocks, nb, h, w, HILBERT,
                                     tuple(info.cband), False, name, nw, R)
         dw = jax.device_put(jnp.asarray(wpad))
