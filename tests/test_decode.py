@@ -110,3 +110,27 @@ def test_multiband_8():
     cb = [1, 1, 1, 4, 4, 4, 6, 7]
     roundtrip(img.astype(np.uint16), Mode.FTL, coreband=cb)
     roundtrip(img.astype(np.uint16), Mode.CF_H, coreband=cb)
+
+
+@pytest.mark.parametrize("dtype,mult", [
+    (np.uint32, 65537), (np.uint64, 1 << 40), (np.uint64, 1 << 56),
+])
+def test_ix_sidecar_wide(dtype, mult):
+    """The fused register-window wavefront on 32/64-bit ix streams."""
+    img = corpus.to_type(corpus.natural8(48, 32, 1, seed=85), dtype, mult)
+    s = qb3_tpu.encode(img, mode=Mode.FTL, index=True)
+    dec = qb3_tpu.Decoder(s)
+    np.testing.assert_array_equal(dec.read_data(), img)
+    assert dec.decode_path == "ix"
+
+
+def test_ix_sidecar_u64_rung63():
+    img = corpus.natural8(32, 32, 1, seed=86).astype(np.uint64)
+    img[0, 0, 0] = (1 << 63) | (1 << 62)
+    img[8, 0, 0] = (1 << 64) - 1
+    s = qb3_tpu.encode(img, mode=Mode.FTL, index=True)
+    from qb3_tpu import container
+    assert container.parse_headers(s).mode == Mode.FTL
+    dec = qb3_tpu.Decoder(s)
+    np.testing.assert_array_equal(dec.read_data(), img)
+    assert dec.decode_path == "ix"
