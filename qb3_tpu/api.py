@@ -22,7 +22,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from . import container, rle
-from .errors import QB3DataError, QB3HeaderError
+from .errors import QB3DataError, QB3Error, QB3HeaderError, QB3ShapeError
 from .constants import (
     B,
     B2,
@@ -246,7 +246,7 @@ class Encoder:
         np_dt = NP_FROM_DT[self.dtype]
         src = np.asarray(source)
         if src.dtype != np.dtype(np_dt):
-            raise ValueError(f"dtype mismatch: {src.dtype} vs {np_dt}")
+            raise QB3ShapeError(f"dtype mismatch: {src.dtype} vs {np_dt}")
         if self.stride:
             flat = src.reshape(-1)
             rows = [flat[y * self.stride:(y * self.stride) + self.xsize * self.nbands]
@@ -263,7 +263,20 @@ class Encoder:
         return hdr + raw.tobytes()
 
     def encode(self, source: np.ndarray) -> bytes:
-        """qb3_encode (QB3encode.cpp:488-574)."""
+        """qb3_encode (QB3encode.cpp:488-574).
+
+        The error state is sticky like the reference handle's
+        (qb3_get_encoder_state, QB3encode.cpp:338): a failed encode sets
+        `self.error` and further encodes raise until reset()."""
+        if self.error != Error.OK:
+            raise QB3Error(f"encoder in error state {self.error!r}; reset() first")
+        try:
+            return self._encode(source)
+        except QB3Error:
+            self.error = Error.EINV
+            raise
+
+    def _encode(self, source: np.ndarray) -> bytes:
         src = self._source_view(source)
         raw_size = src.nbytes
         if self.xsize * self.ysize <= B2:

@@ -98,3 +98,20 @@ def test_mode_setter_rejects_invalid():
     e = Encoder(16, 16, 1, DType.U8)
     assert e.set_mode(8) == Mode.FTL
     assert e.set_mode(99) == Mode.FTL  # unchanged, like the reference
+
+
+def test_sticky_error_state():
+    """qb3_get_encoder_state parity: a failed encode leaves the handle in a
+    sticky error state until reset (QB3encode.cpp:338)."""
+    from qb3_tpu.constants import Error
+    from qb3_tpu.errors import QB3Error, QB3ShapeError
+
+    enc = Encoder(32, 32, 1, DType.U8)
+    with pytest.raises(QB3ShapeError):
+        enc.encode(np.zeros((32, 32, 1), np.uint16))  # wrong dtype
+    assert enc.error == Error.EINV
+    with pytest.raises(QB3Error):
+        enc.encode(np.zeros((32, 32, 1), np.uint8))  # sticky: still fails
+    enc.reset()
+    assert enc.error == Error.OK
+    assert enc.encode(np.zeros((32, 32, 1), np.uint8))
