@@ -132,14 +132,74 @@ def pack_groups(codes, lens, n_words: int, max_group_bits: int):
     return out, total, glen.astype(jnp.uint16)
 
 
+def _fold_slabs(codes, lens, max_group_bits: int):
+    """Shared phase-B level 1: per-group symbols -> W-word slabs at the
+    group's bit phase, plus (base word offsets, glen, total bits)."""
+    wide = codes.dtype == jnp.uint64
+    il = jnp.cumsum(lens, axis=1, dtype=jnp.int32)
+    glen = il[:, -1]
+    io = il - lens
+    gend = jnp.cumsum(glen.astype(jnp.int64))
+    total = gend[-1]
+    goff = gend - glen
+    phase = (goff & 31).astype(jnp.int32)
+    bitpos = phase[:, None] + io
+    W = (31 + max_group_bits + 31) // 32
+
+    k = bitpos >> 5
+    sh = (bitpos & 31).astype(jnp.uint64)
+    t = codes.astype(jnp.uint64) << sh
+    lo = (t & _M32_64).astype(jnp.uint32)
+    mid = (t >> jnp.uint64(32)).astype(jnp.uint32)
+    if wide:
+        hi = jnp.where(sh == 0, jnp.uint64(0),
+                       codes >> ((jnp.uint64(64) - sh) & 63)).astype(jnp.uint32)
+
+    def jbody(_, j):
+        acc = jnp.sum(jnp.where(k == j, lo, 0), axis=1, dtype=jnp.uint32)
+        acc = acc + jnp.sum(jnp.where(k == j - 1, mid, 0), axis=1, dtype=jnp.uint32)
+        if wide:
+            acc = acc + jnp.sum(jnp.where(k == j - 2, hi, 0), axis=1, dtype=jnp.uint32)
+        return None, acc
+
+    _, slabs = jax.lax.scan(jbody, None, jnp.arange(W, dtype=jnp.int32))
+    slab = jnp.moveaxis(slabs, 0, 1)  # (ngroups, W)
+    base = (goff >> 5).astype(jnp.int32)
+    return slab, base, glen, total, W
+
+
+def pack_groups_onehot(codes, lens, n_words: int, max_group_bits: int,
+                       tile_groups: int = 128):
+    """pack_groups with the slab placement as exact int8 one-hot matmuls on
+    the MXU (ops/gather.py place_slabs_onehot)."""
+    from .gather import place_slabs_onehot
+
+    ngroups = codes.shape[0]
+    slab, base, glen, total, W = _fold_slabs(codes, lens, max_group_bits)
+    G = tile_groups
+    pad = (-ngroups) % G
+    if pad:
+        slab = jnp.concatenate([slab, jnp.zeros((pad, W), jnp.uint32)])
+        base = jnp.concatenate([base, jnp.broadcast_to(base[-1], (pad,))])
+    R = -(-((G * max_group_bits) // 32 + W + 128 + 2) // 128) * 128
+    out = place_slabs_onehot(slab, base, n_words, G, W, R)[0, :n_words]
+    return out, total, glen.astype(jnp.uint16)
+
+
 def pack_groups_auto(codes, lens, n_words: int, max_group_bits: int):
-    """Backend-aware pack: the Pallas placement kernel on TPU, the XLA
-    scatter elsewhere (set QB3_NO_PALLAS=1 to force the scatter path)."""
+    """Backend-aware pack: the Pallas placement kernel on TPU (measured
+    faster than the MXU one-hot placement — the scatter side's diagonal
+    combine erases the matmul win; QB3_PACK=onehot/scatter overrides),
+    the XLA scatter elsewhere."""
     import os
 
     import jax as _jax
 
-    if _jax.default_backend() == "tpu" and not os.environ.get("QB3_NO_PALLAS"):
+    if _jax.default_backend() == "tpu":
+        if os.environ.get("QB3_PACK") == "onehot":
+            return pack_groups_onehot(codes, lens, n_words, max_group_bits)
+        if os.environ.get("QB3_PACK") == "scatter":
+            return pack_groups(codes, lens, n_words, max_group_bits)
         return pack_groups_pallas(codes, lens, n_words, max_group_bits)
     return pack_groups(codes, lens, n_words, max_group_bits)
 

@@ -73,6 +73,55 @@ def gather_slabs_onehot(words32, base, G: int, W: int, R: int,
     return out.reshape(ngroups, W)
 
 
+@functools.partial(jax.jit, static_argnames=("n_words", "G", "W", "R"))
+def place_slabs_onehot(slab, base, n_words: int, G: int, W: int, R: int):
+    """Scatter-side dual of gather_slabs_onehot: per-group W-word slabs ->
+    one bit-dense stream, as exact int8 one-hot matmuls on the MXU.
+
+    slab (ngroups, W) u32 (per-group stream words, pre-shifted to bit
+    phase, overlapping only on disjoint bits); base (ngroups,) i32 sorted
+    word offsets; R (multiple of 128) covers any tile's span plus W+128
+    slack.  Exactness: contributions to one byte have disjoint bits, so at
+    most one carries bit 7 — int8 sums reassemble to the exact OR.
+
+    Returns (1, n_out) u32 with n_out = ceil(n_words/128)*128.
+    """
+    ngroups = slab.shape[0]
+    n_tiles = ngroups // G
+    base = base.astype(jnp.int32)
+    wrow = base[::G] >> 7  # 128-aligned window start rows
+    rel = base.reshape(n_tiles, G) - (wrow[:, None] << 7)
+
+    onehot = (rel[:, :, None] == jnp.arange(R, dtype=jnp.int32)[None, None, :])
+    sbytes = jax.lax.bitcast_convert_type(slab, jnp.uint8).reshape(
+        n_tiles, G, W * 4)
+    # M[t, r, j] = sum of slab bytes of groups whose offset is r
+    M = jax.lax.dot_general(
+        onehot.astype(jnp.int8), sbytes.astype(jnp.int8),
+        (((1,), (1,)), ((0,), (0,))), preferred_element_type=jnp.int32)
+    M = M.reshape(n_tiles, R, W, 4)
+    # diagonal combine: window word r collects slab word j placed at r - j
+    RW = R + 128  # W < 128 slack, keeps rows aligned
+    acc = jnp.zeros((n_tiles, RW, 4), jnp.int32)
+    for j in range(W):
+        acc = acc.at[:, j : j + R].add(M[:, :, j])
+    # assemble tiles into the output with a row one-hot matmul (tile
+    # windows overlap across neighbors; bits stay disjoint)
+    nrows = RW // 128
+    total_rows = -(-n_words // 128)
+    row_idx = (wrow[:, None] + jnp.arange(nrows, dtype=jnp.int32)[None, :]
+               ).reshape(-1)
+    rows1h = (row_idx[:, None] ==
+              jnp.arange(total_rows, dtype=jnp.int32)[None, :])
+    wrows = acc.reshape(n_tiles * nrows, 128 * 4).astype(jnp.int8)
+    out = jax.lax.dot_general(
+        rows1h.astype(jnp.int8), wrows,
+        (((0,), (0,)), ((), ())), preferred_element_type=jnp.int32)
+    out = jax.lax.bitcast_convert_type(
+        out.astype(jnp.uint8).reshape(total_rows, 128, 4), jnp.uint32)
+    return out.reshape(1, total_rows * 128)
+
+
 def window_R_bytes(glens: np.ndarray, G: int, W: int) -> int:
     """Static window word count covering every tile's span (host side)."""
     bits = np.concatenate([[0], np.cumsum(glens.astype(np.int64))])

@@ -98,7 +98,20 @@ def main():
     f_place = jax.jit(lambda s, b: place_slabs(s, b, n_words, G, W, R, sub=16))
     jax.block_until_ready(f_place(slab, base))
     t_place = sustained(lambda: f_place(slab, base))
-    print(f"  place only: {1e3*t_place:.3f} ms")
+    print(f"  place pallas: {1e3*t_place:.3f} ms")
+
+    from qb3_tpu.ops.gather import place_slabs_onehot
+    G2 = 128
+    R2 = -(-((G2 * maxbits) // 32 + W + 128 + 2) // 128) * 128
+    f_place2 = jax.jit(lambda s, b: place_slabs_onehot(s, b, n_words, G2, W, R2))
+    jax.block_until_ready(f_place2(slab, base))
+    t_place2 = sustained(lambda: f_place2(slab, base))
+    print(f"  place onehot G128: {1e3*t_place2:.3f} ms")
+
+    f_packo = jax.jit(lambda c, l: bitpack.pack_groups_onehot(c, l, n_words, maxbits))
+    jax.block_until_ready(f_packo(codes, lens))
+    t_bo = sustained(lambda: f_packo(codes, lens))
+    print(f"encode phase B (pack onehot): {1e3*t_bo:.3f} ms  {raw_mb/t_bo:.0f} MB/s")
 
     # ---------------- decode stages
     stream = qb3_tpu.encode(img, mode=qb3_tpu.Mode.FTL, index=True)
