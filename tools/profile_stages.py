@@ -50,6 +50,20 @@ def main():
     t_a = sustained(lambda: f_blocks(dimg))
     print(f"encode phase A (symbols): {1e3*t_a:.3f} ms  {raw_mb/t_a:.0f} MB/s")
 
+    # phase A sub-stages (each pays the dispatch floor separately)
+    f_g = jax.jit(lambda im: E.gather_blocks(im, HILBERT, (1, 1, 1)))
+    vals = jax.block_until_ready(f_g(dimg))
+    print(f"  gather_blocks: {1e3*sustained(lambda: f_g(dimg)):.3f} ms")
+    f_dm = jax.jit(lambda v: E.delta_mags(v, p0))
+    m, _ = jax.block_until_ready(f_dm(vals))
+    print(f"  delta_mags: {1e3*sustained(lambda: f_dm(vals)):.3f} ms")
+    f_br = jax.jit(lambda m: E.block_rungs(m, r0))
+    bu, rng_, oldr, _ = jax.block_until_ready(f_br(m))
+    print(f"  block_rungs: {1e3*sustained(lambda: f_br(m)):.3f} ms")
+    f_fs = jax.jit(lambda m, b, r, o: E.fast_symbols(m, b, r, o, 3, True))
+    jax.block_until_ready(f_fs(m, bu, rng_, oldr))
+    print(f"  fast_symbols: {1e3*sustained(lambda: f_fs(m, bu, rng_, oldr)):.3f} ms")
+
     n_words = (max_encoded_size(w, h, nb, 0) + 3) // 4 + 2
     maxbits = bitpack.group_bits_bound(8, best=False)
 
