@@ -92,7 +92,8 @@ extern "C" {
 int64_t qb3xs_parse(const uint8_t* payload, size_t len_bytes, int64_t nblocks,
                     int nbands, int tsize, int is_ftl, const int32_t* entry_runbits,
                     const uint64_t* entry_cf, uint8_t* kind, int64_t* val_pos,
-                    int32_t* vrung, uint64_t* cf_out, int32_t* rung_out) {
+                    int32_t* vrung, uint64_t* cf_out, int32_t* rung_out,
+                    int64_t start_bit) {
     const int u = ubits_for(tsize);
     const int nmask = (1 << u) - 1;
     const int lmask = (1 << (u + 1)) - 1;
@@ -108,6 +109,7 @@ int64_t qb3xs_parse(const uint8_t* payload, size_t len_bytes, int64_t nblocks,
     }
 
     Bits s{payload, len_bytes};
+    s.pos = start_bit;  // streaming callers resume mid-payload
     const int64_t n_total = nblocks * nbands;
     bool failed = false;
     int64_t gi = 0;

@@ -25,6 +25,6 @@ from .constants import B, B2, HILBERT, ZCURVE, DType, Error, Mode  # noqa: E402,
 from .errors import (QB3DataError, QB3Error, QB3HeaderError,  # noqa: E402,F401
                      QB3ShapeError)
 from .api import Decoder, Encoder, decode, encode, max_encoded_size  # noqa: E402,F401
-from .strip import StripEncoder  # noqa: E402,F401
+from .strip import StripDecoder, StripEncoder  # noqa: E402,F401
 
 __version__ = "0.1.0"

@@ -34,7 +34,7 @@ def _load():
     lib.qb3xs_parse.argtypes = [
         ct.c_void_p, ct.c_size_t, ct.c_int64, ct.c_int, ct.c_int, ct.c_int,
         ct.c_void_p, ct.c_void_p, ct.c_void_p, ct.c_void_p, ct.c_void_p,
-        ct.c_void_p, ct.c_void_p]
+        ct.c_void_p, ct.c_void_p, ct.c_int64]
     lib.qb3xs_rle0_encode.restype = ct.c_int64
     lib.qb3xs_rle0_encode.argtypes = [ct.c_void_p, ct.c_int64, ct.c_void_p]
     lib.qb3xs_rle0_decode.restype = ct.c_int64
@@ -52,7 +52,8 @@ def available() -> bool:
 
 
 def parse_offsets_native(payload: bytes, nblocks: int, nbands: int, tsize: int,
-                         is_ftl: bool, entry_runbits=None, entry_cf=None):
+                         is_ftl: bool, entry_runbits=None, entry_cf=None,
+                         start_bit: int = 0):
     n = nblocks * nbands
     kind = np.zeros(n, np.uint8)
     val_pos = np.zeros(n, np.int64)
@@ -67,7 +68,7 @@ def parse_offsets_native(payload: bytes, nblocks: int, nbands: int, tsize: int,
         erb.ctypes.data if erb is not None else None,
         ecf.ctypes.data if ecf is not None else None,
         kind.ctypes.data, val_pos.ctypes.data, vrung.ctypes.data,
-        cf.ctypes.data, rung.ctypes.data)
+        cf.ctypes.data, rung.ctypes.data, start_bit)
     failed = end < 0  # -(failed_group + 1); remaining kinds already zeroed
     shape = (nblocks, nbands)
     return dict(kind=kind.reshape(shape), val_pos=val_pos.reshape(shape),

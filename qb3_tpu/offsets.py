@@ -67,7 +67,8 @@ class _Bits:
 
 
 def parse_offsets(payload: bytes, nblocks: int, nbands: int, tsize: int,
-                  mode: int, entry_runbits=None, entry_cf=None):
+                  mode: int, entry_runbits=None, entry_cf=None,
+                  start_bit: int = 0):
     """Walk the stream; returns dict of (nblocks, nbands) numpy arrays.
 
     Corruption is reported, not raised, mirroring the reference's `failed`
@@ -93,6 +94,7 @@ def parse_offsets(payload: bytes, nblocks: int, nbands: int, tsize: int,
     rung_arr = np.zeros((nblocks, nbands), np.int32)
 
     s = _Bits(payload)
+    s.pos = start_bit  # streaming callers resume mid-payload
 
     def group_len_normal(rung: int) -> int:
         """Advance past a group's value codes at `rung`; return nothing."""

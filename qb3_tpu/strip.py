@@ -27,7 +27,7 @@ from . import container, rle
 from .api import (NP_FROM_DT, UNSIGNED, Encoder, _best_kernel, _fast_kernel,
                   max_encoded_size)
 from .constants import B, HILBERT, B2, DType, Mode, is_best_mode, is_fast_mode, needs_rle
-from .errors import QB3ShapeError
+from .errors import QB3DataError, QB3ShapeError
 from .stitch import stitch_bytes
 
 
@@ -186,3 +186,147 @@ class StripEncoder:
                         e.cband, e.quanta, e.order, index, index_sig)
                     return header + packed
         return result
+
+
+class StripDecoder:
+    """Bounded-memory streaming decode — the read-side mirror of
+    StripEncoder (no reference equivalent: QB3decode.cpp decodes whole
+    images).  The stream is walked strip-by-strip with carried band state
+    (bit cursor, per-band rung history, previous CF, running prev values);
+    memory is O(width x strip_rows x bands) plus the compressed payload.
+
+        sd = StripDecoder(stream)
+        while (rows := sd.read(64)) is not None:
+            consume(rows)        # rows arrive in order, dequantized
+    """
+
+    def __init__(self, stream: bytes, strip_rows: int = 64):
+        import jax.numpy as jnp
+
+        from .ops.decode import payload_words
+
+        if strip_rows % B:
+            raise QB3ShapeError("strip_rows must be a multiple of 4")
+        self.info = info = container.parse_headers(stream)
+        self.strip_rows = strip_rows
+        self._np_dt = NP_FROM_DT[DType(info.dtype)]
+        self._uns_dt = UNSIGNED[np.dtype(self._np_dt).itemsize]
+        h, w = info.ysize, info.xsize
+        self._whole = None
+        if w < B or h < B or info.mode == Mode.STORED:
+            from .api import Decoder  # tiny/stored: nothing to stream
+
+            self._whole = Decoder(stream).read_data()
+            self._row = 0
+            return
+        data = stream[info.data_offset:]
+        if needs_rle(info.mode):
+            expected = rle.rle0_decoded_size(data)
+            if expected > h * w * info.nbands * np.dtype(self._np_dt).itemsize:
+                raise QB3DataError("RLE expansion exceeds image size")
+            data = rle.rle0_decode(data, expected)
+        self._data = data
+        words = payload_words(data)
+        nw = 1 << max(4, int(np.ceil(np.log2(len(words)))))
+        wpad = np.zeros(nw, np.uint64)
+        wpad[: len(words)] = words
+        self._dwords = jnp.asarray(wpad)
+        self._n_words = nw
+        # carried band state
+        nb = info.nbands
+        self._bit = 0
+        self._runbits = np.zeros(nb, np.int32)
+        self._pcf = np.zeros(nb, np.uint64)
+        self._prev = np.zeros(nb, np.uint64)
+        self._row = 0
+        self._pending = np.zeros((0, w, nb), self._np_dt)
+
+    def read(self, n_rows: int | None = None):
+        """Next <= n_rows rows (default strip_rows), or None at the end."""
+        h = self.info.ysize
+        want = min(n_rows or self.strip_rows, h - self._row)
+        if want <= 0:
+            return None
+        if self._whole is not None:
+            out = self._whole[self._row : self._row + want]
+            self._row += want
+            return out
+        while self._pending.shape[0] < want and self._decoded_until() < h:
+            self._decode_next_strip()
+        out = self._pending[:want]
+        self._pending = self._pending[want:]
+        self._row += out.shape[0]
+        return out if out.shape[0] else None
+
+    def _decoded_until(self) -> int:
+        return self._row + self._pending.shape[0]
+
+    def _decode_next_strip(self):
+        import jax.numpy as jnp
+
+        from . import native
+        from .api import _decode_kernel, _window_R_from_pos, dequantize
+        from .offsets import parse_offsets
+
+        info = self.info
+        h, w, nb = info.ysize, info.xsize, info.nbands
+        aligned_end = (h // B) * B
+        # the shifted tail block row (h % B != 0) overwrites rows
+        # [h-B, aligned_end): regular strips emit only rows < h-B, the tail
+        # strip emits all of [h-B, h) — matching "later blocks win"
+        tail_start = h - B if h % B else h
+        at = self._decoded_until()
+        if at < tail_start:
+            hs = min(self.strip_rows, aligned_end - at)
+            emit_count = min(hs, tail_start - at)
+            last = at + hs >= h
+        else:  # tail
+            hs = B
+            emit_count = B
+            last = True
+        nblocks = (hs // B) * (w // B)
+        tsize = np.dtype(self._uns_dt).itemsize
+        if native.available():
+            meta = native.parse_offsets_native(
+                self._data, nblocks, nb, tsize, info.mode == Mode.FTL,
+                self._runbits, self._pcf, self._bit)
+        else:
+            meta = parse_offsets(self._data, nblocks, nb, tsize, info.mode,
+                                 self._runbits, self._pcf, self._bit)
+        img = None
+        tb = tsize * 8
+        R = _window_R_from_pos(meta["val_pos"], tb) if tb <= 16 else None
+        kern = _decode_kernel(nblocks, nb, hs, w, info.order or HILBERT,
+                              tuple(info.cband), info.mode != Mode.FTL,
+                              np.dtype(self._uns_dt).name, self._n_words, R)
+        img, exit_prev = kern(
+            self._dwords,
+            jnp.asarray(meta["kind"].reshape(-1)),
+            jnp.asarray(meta["val_pos"].reshape(-1)),
+            jnp.asarray(meta["vrung"].reshape(-1)),
+            jnp.asarray(meta["cf"].reshape(-1)),
+            jnp.asarray(self._prev))
+        img = np.asarray(img)
+        if meta.get("failed"):
+            raise QB3DataError(f"corrupt stream (group {meta['failed_group']})",
+                               partial=img)
+        # advance carried state
+        self._bit = meta["end_pos"]
+        self._runbits = meta["rung"].reshape(nblocks, nb)[-1].astype(np.int32)
+        self._prev = np.asarray(exit_prev).astype(np.uint64)
+        kinds = meta["kind"].reshape(nblocks, nb)
+        cfs = meta["cf"].reshape(nblocks, nb)
+        from .offsets import KIND_CF, KIND_CF0
+        for c in range(nb):
+            iscf = (kinds[:, c] == KIND_CF) | (kinds[:, c] == KIND_CF0)
+            if iscf.any():
+                self._pcf[c] = cfs[iscf, c][-1] - 2
+        # end-of-stream rule on the final strip (QB3decode.h:411)
+        if last:
+            leftover = len(self._data) * 8 - meta["end_pos"]
+            if leftover > 7:
+                raise QB3DataError(f"{leftover} leftover bits", partial=img)
+        out = img.view(self._np_dt)[:emit_count]
+        if info.quanta > 1:
+            out = dequantize(out, info.quanta)
+        self._pending = np.concatenate([self._pending, out], axis=0)

@@ -106,3 +106,57 @@ def test_errors():
     se.push(np.zeros((10, 32, 1), np.uint8))
     with pytest.raises(QB3ShapeError):
         se.finish()
+
+
+# ------------------------------------------------------------- StripDecoder
+
+from qb3_tpu import StripDecoder  # noqa: E402
+
+
+def stream_out(stream, chunk=None, **kw):
+    sd = StripDecoder(stream, **kw)
+    parts = []
+    while (rows := sd.read(chunk)) is not None:
+        parts.append(rows)
+    return np.concatenate(parts, axis=0)
+
+
+@pytest.mark.parametrize("mode", [Mode.FTL, Mode.BASE_H, Mode.CF_H])
+def test_strip_decode_modes(mode):
+    img = corpus.natural8(96, 48, 3, seed=160)
+    s = qb3_tpu.encode(img, mode=mode)
+    np.testing.assert_array_equal(stream_out(s, chunk=20), img)
+
+
+def test_strip_decode_unaligned_height():
+    img = corpus.natural8(70, 32, 1, seed=161)
+    s = qb3_tpu.encode(img, mode=Mode.FTL)
+    np.testing.assert_array_equal(stream_out(s, chunk=7, strip_rows=16), img)
+
+
+def test_strip_decode_quanta_u16():
+    img = corpus.to_type(corpus.natural8(64, 32, 1, seed=162), np.uint16, 257)
+    s = qb3_tpu.encode(img, mode=Mode.FTL, quanta=5)
+    want, _ = qb3_tpu.decode(s)
+    np.testing.assert_array_equal(stream_out(s), want)
+
+
+def test_strip_decode_rle_and_stored():
+    img = np.zeros((32, 32, 1), np.uint8)
+    img[4:8, 4:8] = 9
+    s = qb3_tpu.encode(img, mode=Mode.RLE_H)
+    np.testing.assert_array_equal(stream_out(s, chunk=8), img)
+    tiny = corpus.natural8(3, 3, 1, seed=163)
+    s2 = qb3_tpu.encode(tiny, mode=Mode.FTL)  # stored
+    np.testing.assert_array_equal(stream_out(s2, chunk=2), tiny)
+
+
+def test_strip_roundtrip_streaming_both_ways():
+    """StripEncoder -> StripDecoder without ever materializing the image."""
+    img = corpus.natural8(128, 40, 2, seed=164)
+    from qb3_tpu.api import DT_FROM_NP
+    se = qb3_tpu.StripEncoder(40, 128, 2, DT_FROM_NP[img.dtype])
+    for y in range(0, 128, 16):
+        se.push(img[y : y + 16])
+    s = se.finish()
+    np.testing.assert_array_equal(stream_out(s, chunk=16), img)
