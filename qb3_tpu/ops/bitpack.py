@@ -205,9 +205,10 @@ def pack_groups_auto(codes, lens, n_words: int, max_group_bits: int):
 
 
 def pack_groups_pallas(codes, lens, n_words: int, max_group_bits: int,
-                       tile_groups: int = 256):
+                       tile_groups: int = 64):
     """pack_groups with the slab placement done by the Pallas kernel
-    (ops/pack_pallas.py) instead of XLA scatter-add.  TPU only."""
+    (ops/pack_pallas.py) instead of XLA scatter-add.  TPU only.
+    G=64/sub=32 measured fastest on v5e (tools/ablate_encode.py)."""
     from .pack_pallas import place_slabs
 
     ngroups, S = codes.shape
@@ -248,7 +249,7 @@ def pack_groups_pallas(codes, lens, n_words: int, max_group_bits: int,
         slab = jnp.concatenate([slab, jnp.zeros((pad, W), jnp.uint32)])
         base = jnp.concatenate([base, jnp.broadcast_to(base[-1], (pad,))])
     R = -(-((G * max_group_bits) // 32 + W + 128 + 2) // 128) * 128
-    out = place_slabs(slab, base, n_words, G, W, R, sub=16)[0, :n_words]
+    out = place_slabs(slab, base, n_words, G, W, R, sub=32)[0, :n_words]
     return out, total, glen.astype(jnp.uint16)
 
 

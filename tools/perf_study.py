@@ -205,6 +205,7 @@ def main():
     if not args.skip_rates:
         print("rates (device, batched):", flush=True)
         rates = rate_study(args)
+        rates["backend"] = jax.default_backend()
         with open(rates_path, "w") as f:
             json.dump(rates, f)
     elif os.path.exists(rates_path):
@@ -241,7 +242,7 @@ reference rates there: FTL 397.76 / BASE 327.44 / BEST 160.93 MB/s encode,
 QB3 streams are byte-identical to the reference implementation's, so the
 size columns equal the reference codec's on this corpus by construction.
 Device rates are batched (16 tiles/dispatch for FTL/BASE; single dispatch
-for BEST) on {jax.default_backend()}; each dispatch pays ~1.2 ms of relay
+for BEST) on {(rates or {{}}).get('backend', jax.default_backend())}; each dispatch pays ~1.2 ms of relay
 latency in this environment, which production TPU hosts do not have.
 Per-image sizes: sizes.csv. Reference published numbers: ../BASELINE.md.
 """
