@@ -39,6 +39,44 @@ def _batch_encode_kernel(n, shape, npdtype, order, cband, skipstep, n_words):
 
 
 @functools.lru_cache(maxsize=32)
+def _batch_best_kernel(n, shape, npdtype, order, cband, n_words):
+    from .ops.bitpack import group_bits_bound, pack_groups_auto
+    from .ops.encode_best import encode_best_blocks
+
+    maxbits = group_bits_bound(np.dtype(npdtype).itemsize * 8, best=True)
+    nb = shape[2]
+
+    def one(img):
+        zp = jnp.zeros(nb, dtype=img.dtype)
+        zr = jnp.zeros(nb, dtype=jnp.int32)
+        codes, lens, _, _, _, meta16, cfv = encode_best_blocks(
+            img, zp, zr, zp, order, cband)
+        words, total, glen = pack_groups_auto(codes, lens, n_words, maxbits)
+        return words, total, glen, meta16, cfv
+
+    return jax.jit(jax.vmap(one))
+
+
+@functools.lru_cache(maxsize=32)
+def _batch_best_decode_kernel(n, nblocks, nbands, h, w, order, cband,
+                              npdtype, n_words, R=None):
+    from .ops.decode import decode_groups_fused, reconstruct
+
+    out_dtype = np.dtype(npdtype)
+    tbits = out_dtype.itemsize * 8
+
+    def one(words64, kind, val_pos, vrung, cf):
+        g = decode_groups_fused(words64, kind, val_pos, vrung, cf, True,
+                                tbits, jax.default_backend() == "tpu", R)
+        g = g.reshape(nblocks, nbands, B2)
+        img, _ = reconstruct(g, jnp.zeros(nbands, jnp.uint64), h, w, nbands,
+                             order, cband, out_dtype)
+        return img
+
+    return jax.jit(jax.vmap(one))
+
+
+@functools.lru_cache(maxsize=32)
 def _batch_decode_kernel(n, nblocks, nbands, h, w, order, cband, apply_step,
                          npdtype, n_words, R=None):
     from .api import _decode_kernel_indexed  # reuse the single-tile body
@@ -51,16 +89,9 @@ def _batch_decode_kernel(n, nblocks, nbands, h, w, order, cband, apply_step,
     tbits = out_dtype.itemsize * 8
 
     def one(words64, glens):
-        if tbits <= 16:
-            from .ops.decode import decode_indexed_narrow
-            g = decode_indexed_narrow(words64, glens, nblocks, nbands,
-                                      apply_step,
-                                      jax.default_backend() == "tpu", tbits, R)
-        else:
-            kind, val_pos, vrung, cf = indexed_meta(words64, glens, nblocks,
-                                                    nbands, ubits)
-            g, _ = decode_groups(words64, kind, val_pos, vrung, cf,
-                                 apply_step, has_extended=False)
+        from .ops.decode import decode_indexed_narrow
+        g = decode_indexed_narrow(words64, glens, nblocks, nbands, apply_step,
+                                  jax.default_backend() == "tpu", tbits, R)
         g = g.reshape(nblocks, nbands, B2)
         img, _ = reconstruct(g, jnp.zeros(nbands, jnp.uint64), h, w, nbands,
                              order, cband, out_dtype)
@@ -79,26 +110,46 @@ def encode_tiles(imgs: np.ndarray, mode: int = Mode.FTL, coreband=None,
     if imgs.ndim != 4:
         raise QB3ShapeError("expected (N, H, W, C) tiles")
     n, h, w, nb = imgs.shape
-    if mode not in (Mode.FTL, Mode.BASE_H, Mode.BASE_Z) or h < B or w < B:
-        raise QB3ShapeError("batch encode supports FTL/BASE tiles >= 4x4")
+    best = mode in (Mode.CF_H, Mode.CF)
+    if (mode not in (Mode.FTL, Mode.BASE_H, Mode.BASE_Z) and not best) \
+            or h < B or w < B:
+        raise QB3ShapeError("batch encode supports FTL/BASE/BEST tiles >= 4x4")
     dt = DT_FROM_NP[imgs.dtype]
     cband = tuple(coreband) if coreband is not None else tuple(default_cband(nb))
-    order = 0x0145236789CDABEF if mode == Mode.BASE_Z else HILBERT
+    zorder = mode in (Mode.BASE_Z, Mode.CF)
+    order = 0x0145236789CDABEF if zorder else HILBERT
     uns = imgs.view(UNSIGNED[imgs.dtype.itemsize])
     n_words = (max_encoded_size(w, h, nb, dt) + 3) // 4 + 2
-    kern = _batch_encode_kernel(n, (h, w, nb), uns.dtype.name, order, cband,
-                                mode == Mode.FTL, n_words)
-    words, totals, glens = kern(jnp.asarray(uns))
+    meta16 = cfv = None
+    if best:
+        kern = _batch_best_kernel(n, (h, w, nb), uns.dtype.name, order, cband,
+                                  n_words)
+        words, totals, glens, meta16, cfv = kern(jnp.asarray(uns))
+        meta16, cfv = np.asarray(meta16), np.asarray(cfv)
+    else:
+        kern = _batch_encode_kernel(n, (h, w, nb), uns.dtype.name, order, cband,
+                                    mode == Mode.FTL, n_words)
+        words, totals, glens = kern(jnp.asarray(uns))
     words = np.asarray(words)
     totals = np.asarray(totals)
     glens = np.asarray(glens)
+    from .offsets import KIND_CF, KIND_CF0
     from .ops.bitpack import words_to_bytes
     out = []
     for i in range(n):
-        idx = glens[i].astype("<u2").tobytes() if index else None
+        idx, sig = None, b"ix"
+        if index and best:
+            kind = meta16[i] & 7
+            cfm = cfv[i][(kind == KIND_CF) | (kind == KIND_CF0)].astype(np.uint64)
+            if not (cfm.size and int(cfm.max()) > 0xFFFF):
+                idx, sig = (glens[i].astype("<u2").tobytes()
+                            + meta16[i].astype("<u2").tobytes()
+                            + cfm.astype("<u2").tobytes()), b"ib"
+        elif index:
+            idx = glens[i].astype("<u2").tobytes()
         hdr = container.write_headers(
             w, h, nb, dt, mode, list(cband), 1,
-            0x0145236789CDABEF if mode == Mode.BASE_Z else 0, idx)
+            0x0145236789CDABEF if zorder else 0, idx, sig)
         out.append(hdr + words_to_bytes(words[i], int(totals[i])))
     return out
 
@@ -112,8 +163,9 @@ def decode_tiles(streams: list[bytes]) -> np.ndarray:
     if any((i.xsize, i.ysize, i.nbands, i.dtype, i.mode) !=
            (i0.xsize, i0.ysize, i0.nbands, i0.dtype, i0.mode) for i in infos):
         raise QB3ShapeError("batch decode requires same-shape streams")
-    if any(i.index is None for i in infos):
-        raise QB3ShapeError("batch decode needs the ix sidecar")
+    best = all(i.index_best is not None for i in infos)
+    if not best and any(i.index is None for i in infos):
+        raise QB3ShapeError("batch decode needs the ix or ib sidecar")
     h, w, nb = i0.ysize, i0.xsize, i0.nbands
     if h % B != 0 or w % B != 0:
         raise QB3ShapeError("batch decode requires 4-aligned tiles")
@@ -127,11 +179,29 @@ def decode_tiles(streams: list[bytes]) -> np.ndarray:
     wpad = np.zeros((len(streams), n_words), np.uint64)
     for j, x in enumerate(wlists):
         wpad[j, : len(x)] = x
+    tb = np.dtype(uns_dt).itemsize * 8
+    if best:
+        from .api import _parse_best_sidecar, _window_R_from_pos
+
+        metas = [_parse_best_sidecar(i.index_best, nblocks * nb) for i in infos]
+        if any(m is None for m in metas):
+            raise QB3ShapeError("inconsistent ib sidecar")
+        kind = np.stack([m[0] for m in metas])
+        val_pos = np.stack([m[1] for m in metas])
+        vrung = np.stack([m[2] for m in metas])
+        cf = np.stack([m[3] for m in metas])
+        R = max(_window_R_from_pos(v, tb) for v in val_pos) if tb <= 16 else None
+        kern = _batch_best_decode_kernel(len(streams), nblocks, nb, h, w,
+                                         order, tuple(i0.cband),
+                                         np.dtype(uns_dt).name, n_words, R)
+        out = np.asarray(kern(jnp.asarray(wpad), jnp.asarray(kind),
+                              jnp.asarray(val_pos), jnp.asarray(vrung),
+                              jnp.asarray(cf)))
+        return out.view(np_dt)
     glens = np.stack([
         np.frombuffer(i.index, dtype="<u2").astype(np.int32) for i in infos])
     from .api import _indexed_window_R
-    tb = np.dtype(uns_dt).itemsize * 8
-    R = max(_indexed_window_R(g, tb) for g in glens) if tb <= 16 else None
+    R = max(_indexed_window_R(g, tb) for g in glens)
     kern = _batch_decode_kernel(len(streams), nblocks, nb, h, w, order,
                                 tuple(i0.cband), i0.mode != Mode.FTL,
                                 np.dtype(uns_dt).name, n_words, R)

@@ -40,3 +40,20 @@ def test_batch_base_mode():
     streams = encode_tiles(tiles, mode=Mode.BASE_H, index=True)
     dec = decode_tiles(streams)
     np.testing.assert_array_equal(dec, tiles)
+
+
+def test_batch_best_mode_roundtrip():
+    """Best-mode tiles per dispatch: streams byte-exact with standalone
+    encodes; ib-sidecar batch decode recovers the tiles."""
+    from qb3_tpu.batch import decode_tiles, encode_tiles
+
+    tiles = np.stack([corpus.natural8(32, 32, 3, seed=170 + i) for i in range(4)])
+    tiles[0] = (tiles[0] // 5) * 5  # CF-heavy tile
+    streams = encode_tiles(tiles, mode=Mode.CF_H, index=True)
+    for i in range(4):
+        assert streams[i].startswith(
+            qb3_tpu.encode(tiles[i], mode=Mode.CF_H)[:1])
+        single = qb3_tpu.encode(tiles[i], mode=Mode.CF_H, index="ib")
+        assert streams[i] == single, f"tile {i}"
+    out = decode_tiles(streams)
+    np.testing.assert_array_equal(out, tiles)
