@@ -138,7 +138,18 @@ def main(argv=None) -> int:
                     help="search RGB band mixes for the smallest output")
     ap.add_argument("--index", action="store_true",
                     help="embed the parallel-decode sidecar chunk")
+    ap.add_argument("--trace", metavar="DIR",
+                    help="capture a jax.profiler trace into DIR")
     args = ap.parse_args(argv)
+
+    if args.trace:
+        from . import profiling
+        import contextlib
+
+        stack = contextlib.ExitStack()
+        stack.enter_context(profiling.trace(args.trace))
+        import atexit
+        atexit.register(stack.close)
 
     if os.path.isdir(args.input):
         n = 0
