@@ -241,7 +241,7 @@ def main():
         t_bdec = sustained(lambda: dkb(dwp, dgl)) / NB
         benc_rate, bdec_rate = raw_mb / t_benc, raw_mb / t_bdec
         bcombined = raw_mb / (t_benc + t_bdec)
-        print(f"# batch8 encode {benc_rate:.1f} MB/s, decode {bdec_rate:.1f} MB/s",
+        print(f"# batch{NB} encode {benc_rate:.1f} MB/s, decode {bdec_rate:.1f} MB/s",
               file=sys.stderr)
         if bcombined > combined:
             enc_rate, dec_rate, combined = benc_rate, bdec_rate, bcombined

@@ -86,6 +86,63 @@ def main():
             regs_arr = jnp.broadcast_to(words32[:NREG][None, :], (ngroups, NREG))
         return regs_arr, goff, off0, base
 
+    def decode_body_per7(regs_arr, off0, glens):
+        """Window-based wavefront: 7 values per 64-bit window (u8 codes are
+        <= 9 bits), 3 windows per group, no accumulator refill logic."""
+        from qb3_tpu.ops.decode import _DSW_LEN, _DSW_DELTA, _vlc_decode_arith
+        W = jnp.uint32
+        ubits, nmask = 3, 7
+        NREG = 8
+        regs = [regs_arr[:, i] for i in range(NREG)]
+        regs += [jnp.zeros_like(regs[0]), jnp.zeros_like(regs[0])]
+
+        def window(off):
+            wi = off >> 5
+            sh = (off & 31).astype(jnp.uint64)
+            lo = regs[NREG - 1]
+            hi = regs[NREG]
+            w2 = regs[NREG + 1]
+            for i in range(NREG - 2, -1, -1):
+                lo = jnp.where(wi == i, regs[i], lo)
+                hi = jnp.where(wi == i, regs[i + 1], hi)
+            for i in range(NREG - 3, -1, -1):
+                w2 = jnp.where(wi == i, regs[i + 2], w2)
+            w = (lo.astype(jnp.uint64) | (hi.astype(jnp.uint64) << 32)) >> sh
+            return w | jnp.where(sh == 0, jnp.uint64(0),
+                                 w2.astype(jnp.uint64) << ((jnp.uint64(64) - sh) & 63))
+
+        w0 = window(off0).astype(W)
+        has_cs = (w0 & 1) == 1
+        idx = ((w0 >> 1) & W(15)).astype(jnp.int32)
+        cs_len = jnp.where(has_cs, _DSW_LEN[ubits, idx], 1)
+        delta = jnp.where(has_cs, _DSW_DELTA[ubits, idx], 0)
+        rung = (jnp.cumsum(delta.reshape(nblocks, nb), axis=0) & nmask).reshape(-1)
+        rung0 = rung == 0
+        flag = ((w0 >> cs_len.astype(W)) & 1).astype(jnp.int32)
+        is_bits = rung0 & (flag == 1)
+        is_group = ~rung0
+        off = off0 + cs_len + jnp.where(rung0, 1, 0)
+
+        per = 7
+        takes = np.minimum(per, B2 - np.arange(0, B2, per))
+
+        def body(off, take):
+            w = window(off)
+            shift = jnp.zeros_like(off)
+            outs = []
+            for t in range(per):
+                ww = (w >> shift.astype(jnp.uint64)).astype(W)
+                gv, gl = _vlc_decode_arith(ww, rung, W)
+                v = jnp.where(is_group, gv, jnp.where(is_bits, ww & 1, W(0)))
+                ln = jnp.where(is_group, gl, jnp.where(is_bits, 1, 0))
+                live = t < take
+                outs.append(jnp.where(live, v, 0))
+                shift = shift + jnp.where(live, ln, 0)
+            return (off + shift).astype(jnp.int32), jnp.stack(outs, axis=-1)
+
+        _, vals = jax.lax.scan(body, off, jnp.asarray(takes))
+        return jnp.moveaxis(vals, 0, 1).reshape(ngroups, -1)[:, :B2]
+
     def decode_body(regs_arr, off0, glens):
         """The register-window wavefront after gathering (from decode_indexed_narrow)."""
         W = jnp.uint32
@@ -157,7 +214,7 @@ def main():
 
     variants = {}
 
-    def make(gather_mode, recon, G=256, sub=16, i32=False):
+    def make(gather_mode, recon, G=256, sub=16, i32=False, per7=False):
         def run(words64, glens):
             regs_arr, goff, off0, base = wavefront(words64, glens, gather_mode,
                                                    G, sub, i32=i32)
@@ -165,7 +222,8 @@ def main():
                 return jnp.sum(base) + jnp.sum(off0)
             if recon == "skip_wave":
                 return jnp.sum(regs_arr, dtype=jnp.uint32)
-            g = decode_body(regs_arr, off0, glens)
+            body_fn = decode_body_per7 if per7 else decode_body
+            g = body_fn(regs_arr, off0, glens)
             if recon == "full":
                 gg = g.reshape(nblocks, nb, B2)
                 im, _ = D.reconstruct(gg, jnp.zeros(nb, jnp.uint64), h, w, nb,
@@ -176,19 +234,19 @@ def main():
         return jax.jit(run)
 
     cases = [
-        ("prep only (i64 cumsum)", make("none", "prep_only")),
-        ("prep only (i32 cumsum)", make("none", "prep_only", i32=True)),
-        ("full onehot G128 i64", make("onehot", "full", G=128)),
-        ("full onehot G128 i32", make("onehot", "full", G=128, i32=True)),
-        ("full pallas G128s32 i32", make("pallas", "full", G=128, sub=32, i32=True)),
-        ("onehot gather G128 i32", make("onehot", "skip_wave", G=128, i32=True)),
-        ("wave only i32", make("none", "sum", i32=True)),
-        ("gather+wave onehot i32", make("onehot", "sum", G=128, i32=True)),
+        ("full onehot acc (current)", make("onehot", "full", G=128, i32=True)),
+        ("full onehot per7", make("onehot", "full", G=128, i32=True, per7=True)),
+        ("wave only acc", make("none", "sum", i32=True)),
+        ("wave only per7", make("none", "sum", i32=True, per7=True)),
     ]
     for name, fn in cases:
         try:
+            out = fn(dw, dg)
+            ok = ""
+            if "full" in name:
+                ok = f" ok={bool((np.asarray(out).reshape(img.shape) == img).all())}"
             t = sustained(lambda: fn(dw, dg))
-            print(f"{name:28s}: {1e3*t:7.3f} ms  {raw_mb/t:6.0f} MB/s", flush=True)
+            print(f"{name:28s}: {1e3*t:7.3f} ms  {raw_mb/t:6.0f} MB/s{ok}", flush=True)
         except Exception as e:
             print(f"{name:28s}: FAILED {type(e).__name__}: {str(e)[:120]}", flush=True)
 
