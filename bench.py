@@ -70,6 +70,7 @@ def mode_matrix():
 
     cases = [
         ("ftl-u8", Mode.FTL, np.uint8, 1, 512, 512, 3),
+        ("ftl-u8-selfcontained", Mode.FTL, np.uint8, 1, 512, 512, 3),
         ("base-u8", Mode.BASE_H, np.uint8, 1, 512, 512, 3),
         ("best-u8", Mode.CF_H, np.uint8, 1, 512, 512, 3),
         ("ftl-u16", Mode.FTL, np.uint16, 257, 512, 512, 1),
@@ -77,6 +78,7 @@ def mode_matrix():
     ]
     rows = []
     for name, mode, npdt, mult, h, w, nb in cases:
+        selfcontained = name.endswith("selfcontained")
         img8 = natural_image(h, w, nb, seed=9)
         img = img8.astype(npdt) * npdt(mult) if mult != 1 else img8
         raw_mb = img.nbytes / 1e6
@@ -108,7 +110,7 @@ def mode_matrix():
         t_enc = sustained(lambda: ek(*args), 15)
 
         # device decode via the best applicable sidecar path
-        idx_kind = "ib" if mode == Mode.CF_H else True
+        idx_kind = "ib" if mode == Mode.CF_H else ("ic" if selfcontained else True)
         sidx = qb3_tpu.encode(img, mode=mode, index=idx_kind)
         info = container.parse_headers(sidx)
         wordsv = payload_words(sidx[info.data_offset:])
@@ -147,9 +149,13 @@ def mode_matrix():
                "decode_MBps": round(raw_mb / t_dec, 1),
                "ratio_pct": round(100 * len(stream) / img.nbytes, 2),
                "oracle_exact": bool(oracle)}
+        if selfcontained:
+            row["sidecar_pct"] = round(
+                100 * (len(sidx) - len(stream)) / len(stream), 2)
         rows.append(row)
         print(f"# {name}: enc {row['encode_MBps']} MB/s, "
-              f"dec {row['decode_MBps']} MB/s, ratio {row['ratio_pct']}%",
+              f"dec {row['decode_MBps']} MB/s, ratio {row['ratio_pct']}%"
+              + (f", sidecar {row['sidecar_pct']}%" if selfcontained else ""),
               file=sys.stderr)
     return rows
 

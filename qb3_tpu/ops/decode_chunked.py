@@ -28,14 +28,18 @@ _NREG = {8: 7, 16: 11, 32: 20, 64: 36}
 # values decoded per 64-bit window (per * max_code_bits <= 64)
 _PER = {8: 6, 16: 3, 32: 1, 64: 1}
 
-IC_DEFAULT_K = 16  # blocks per chunk: ~(4 + nbands) sidecar bytes / K groups
+IC_DEFAULT_K = 8  # blocks per chunk: measured faster than 16, <2% sidecar
+_IC_WIDE = 0x8000  # k_blocks flag: u32 spans (chunk spans can exceed 65535)
 
 
 def pack_ic(spans: np.ndarray, entry: np.ndarray, k_blocks: int) -> bytes:
-    """Serialize the "ic" chunk payload: u16le k_blocks, then per-chunk u32le
-    bit spans, then per-chunk per-band entry rung bytes."""
-    return (int(k_blocks).to_bytes(2, "little")
-            + spans.astype("<u4").tobytes()
+    """Serialize the "ic" chunk payload: u16le k_blocks (bit 15 set when the
+    spans need u32), per-chunk u16le/u32le bit spans, then per-chunk
+    per-band entry rung bytes."""
+    wide = spans.size and int(spans.max()) > 0xFFFF
+    head = int(k_blocks) | (_IC_WIDE if wide else 0)
+    return (head.to_bytes(2, "little")
+            + spans.astype("<u4" if wide else "<u2").tobytes()
             + entry.astype(np.uint8).tobytes())
 
 
@@ -44,15 +48,19 @@ def parse_ic(buf: bytes, nblocks: int, nbands: int):
     entry (nchunks, nbands) int32, total_bits), or None if inconsistent."""
     if len(buf) < 2:
         return None
-    k = int.from_bytes(buf[:2], "little")
+    head = int.from_bytes(buf[:2], "little")
+    k = head & ~_IC_WIDE
+    wide = bool(head & _IC_WIDE)
     if k < 1:
         return None
     nchunks = -(-nblocks // k)
-    if len(buf) != 2 + nchunks * (4 + nbands):
+    sbytes = 4 if wide else 2
+    if len(buf) != 2 + nchunks * (sbytes + nbands):
         return None
-    spans = np.frombuffer(buf, dtype="<u4", count=nchunks, offset=2).astype(np.int64)
+    spans = np.frombuffer(buf, dtype="<u4" if wide else "<u2",
+                          count=nchunks, offset=2).astype(np.int64)
     entry = np.frombuffer(buf, dtype=np.uint8,
-                          offset=2 + 4 * nchunks).reshape(nchunks, nbands)
+                          offset=2 + sbytes * nchunks).reshape(nchunks, nbands)
     ends = np.cumsum(spans)
     starts = ends - spans
     if ends[-1] >= 1 << 31:  # int32 bit cursors in the device walk
