@@ -115,7 +115,7 @@ def rate_study(args):
 
     h = w = args.size
     nb = 3
-    NBATCH = 16
+    NBATCH = 32
     tiles = np.stack([photo8(h, w, seed=3000 + i) for i in range(NBATCH)])
     raw_mb = tiles[0].nbytes / 1e6
     n_words = (max_encoded_size(w, h, nb, 0) + 3) // 4 + 2
@@ -241,7 +241,7 @@ reference rates there: FTL 397.76 / BASE 327.44 / BEST 160.93 MB/s encode,
 
 QB3 streams are byte-identical to the reference implementation's, so the
 size columns equal the reference codec's on this corpus by construction.
-Device rates are batched (16 tiles/dispatch for FTL/BASE; single dispatch
+Device rates are batched (32 tiles/dispatch for FTL/BASE; single dispatch
 for BEST) on {(rates or {{}}).get('backend', jax.default_backend())}; each dispatch pays ~1.2 ms of relay
 latency in this environment, which production TPU hosts do not have.
 Per-image sizes: sizes.csv. Reference published numbers: ../BASELINE.md.
