@@ -186,22 +186,56 @@ def pack_groups_onehot(codes, lens, n_words: int, max_group_bits: int,
     return out, total, glen.astype(jnp.uint16)
 
 
+def pack_segmented(codes, lens, n_words: int, max_sym_bits: int, m: int,
+                   pack=None):
+    """Pack with each group's symbol row split into segments of m symbols.
+
+    The slab fold is O(W x S) masked passes; splitting rows shrinks both
+    factors (bit positions are unchanged — segments are just finer
+    prefix-sum granularity, so the stream stays byte-identical).  Returns
+    per-GROUP glens like pack_groups.
+    """
+    n, S = codes.shape
+    pad = (-S) % m
+    if pad:
+        codes = jnp.concatenate(
+            [codes, jnp.zeros((n, pad), codes.dtype)], axis=1)
+        lens = jnp.concatenate(
+            [lens, jnp.zeros((n, pad), lens.dtype)], axis=1)
+    nseg = (S + pad) // m
+    pack = pack or pack_groups
+    words, total, glen_seg = pack(
+        codes.reshape(n * nseg, m), lens.reshape(n * nseg, m),
+        n_words, max_sym_bits * m)
+    glen = jnp.sum(glen_seg.reshape(n, nseg).astype(jnp.int32), axis=1)
+    return words, total, glen.astype(jnp.uint16)
+
+
 def pack_groups_auto(codes, lens, n_words: int, max_group_bits: int):
     """Backend-aware pack: the Pallas placement kernel on TPU (measured
     faster than the MXU one-hot placement — the scatter side's diagonal
     combine erases the matmul win; QB3_PACK=onehot/scatter overrides),
-    the XLA scatter elsewhere."""
+    the XLA scatter elsewhere.  Wide-type symbol rows (u32/u64: 66-bit
+    codes, W up to 35) pack segmented to cut the O(W x S) fold."""
     import os
 
     import jax as _jax
 
-    if _jax.default_backend() == "tpu":
-        if os.environ.get("QB3_PACK") == "onehot":
-            return pack_groups_onehot(codes, lens, n_words, max_group_bits)
-        if os.environ.get("QB3_PACK") == "scatter":
-            return pack_groups(codes, lens, n_words, max_group_bits)
-        return pack_groups_pallas(codes, lens, n_words, max_group_bits)
-    return pack_groups(codes, lens, n_words, max_group_bits)
+    on_tpu = _jax.default_backend() == "tpu"
+    if on_tpu and os.environ.get("QB3_PACK") == "onehot":
+        return pack_groups_onehot(codes, lens, n_words, max_group_bits)
+    if on_tpu and os.environ.get("QB3_PACK") != "scatter":
+        pack = pack_groups_pallas
+    else:
+        pack = pack_groups
+    S = codes.shape[1]
+    if max_group_bits > 400 and not os.environ.get("QB3_NO_SEG"):
+        # max symbol bits: a value code (tbits + 2 capped at 64 for u64,
+        # whose 65th bit is its own interleaved symbol)
+        max_sym = -(-max_group_bits // 16)
+        m = max(3, 192 // max_sym)
+        return pack_segmented(codes, lens, n_words, max_sym, m, pack)
+    return pack(codes, lens, n_words, max_group_bits)
 
 
 def pack_groups_pallas(codes, lens, n_words: int, max_group_bits: int,
