@@ -228,10 +228,9 @@ def pack_groups_auto(codes, lens, n_words: int, max_group_bits: int):
         pack = pack_groups_pallas
     else:
         pack = pack_groups
-    S = codes.shape[1]
-    if max_group_bits > 400 and not os.environ.get("QB3_NO_SEG"):
-        # max symbol bits: a value code (tbits + 2 capped at 64 for u64,
-        # whose 65th bit is its own interleaved symbol)
+    if max_group_bits > 400 and os.environ.get("QB3_SEG"):
+        # opt-in: a cheaper fold, but measured slower on TPU overall (the
+        # placement grid walks segments sequentially; u64 894 -> 586 MB/s)
         max_sym = -(-max_group_bits // 16)
         m = max(3, 192 // max_sym)
         return pack_segmented(codes, lens, n_words, max_sym, m, pack)
