@@ -41,6 +41,10 @@ def gather_slabs_onehot(words32, base, G: int, W: int, R: int,
     wrow = base[::G] >> 7  # 128-aligned window start rows
     rel = base.reshape(n_tiles, G) - (wrow[:, None] << 7)  # (n_tiles, G)
 
+    wpad = (-words32.shape[0]) % 128  # tiny streams: pad to whole rows
+    if wpad:
+        words32 = jnp.concatenate(
+            [words32, jnp.zeros(wpad, words32.dtype)])
     words2d = words32.reshape(-1, 128)
     total_rows = words2d.shape[0]
     row_idx = wrow[:, None] + jnp.arange(nrows, dtype=jnp.int32)[None, :]
