@@ -81,8 +81,7 @@ def _batch_decode_kernel(n, nblocks, nbands, h, w, order, cband, apply_step,
                          npdtype, n_words, R=None):
     from .api import _decode_kernel_indexed  # reuse the single-tile body
     from .constants import ubits_for
-    from .ops.decode import (decode_groups, decode_groups_regwindow, indexed_meta,
-                             reconstruct)
+    from .ops.decode import reconstruct
 
     out_dtype = np.dtype(npdtype)
     ubits = ubits_for(out_dtype.itemsize)

@@ -647,7 +647,3 @@ def reconstruct(groups, entry_prev, h: int, w: int, nbands: int, order: int,
     img = img + core * jnp.asarray(add.astype(out_dtype))[None, None, :]
     return img, exit_prev
 
-
-def decode_indexed_u8(words64, glens, nblocks, nbands, apply_step, use_pallas):
-    return decode_indexed_narrow(words64, glens, nblocks, nbands, apply_step,
-                                 use_pallas, tbits=8)
