@@ -147,29 +147,36 @@ def rate_study(args):
         print(f"  {label}: enc {rates[label][0]:.0f} dec {rates[label][1]:.0f} MB/s",
               flush=True)
 
-    # BEST: single-dispatch kernels (batch path covers fast modes only)
-    img = tiles[0]
-    ek = _best_kernel((h, w, nb), "uint8", HILBERT, (1, 1, 1), n_words)
-    dimg = jax.device_put(jnp.asarray(img))
-    t_enc = sustained(lambda: ek(dimg, jnp.zeros(nb, jnp.uint8),
-                                 jnp.zeros(nb, jnp.int32),
-                                 jnp.zeros(nb, jnp.uint8)))
-    s = qb3_tpu.encode(img, mode=Mode.CF_H, index="ib")
-    info = container.parse_headers(s)
-    wordsv = payload_words(s[info.data_offset:])
-    nw = 1 << max(4, int(np.ceil(np.log2(len(wordsv)))))
-    wp = np.zeros(nw, np.uint64)
-    wp[: len(wordsv)] = wordsv
+    # BEST: the batched serving path (vmapped kernels + ib-sidecar decode)
+    from qb3_tpu.api import _parse_best_sidecar, _window_R_from_pos
+    from qb3_tpu.batch import (_batch_best_decode_kernel, _batch_best_kernel,
+                               encode_tiles)
+
+    bk = _batch_best_kernel(NBATCH, (h, w, nb), "uint8", HILBERT, (1, 1, 1),
+                            n_words)
+    dt = jax.device_put(jnp.asarray(tiles))
+    t_enc = sustained(lambda: bk(dt)) / NBATCH
+    streams = encode_tiles(tiles, mode=Mode.CF_H, index=True)
+    infos = [container.parse_headers(s) for s in streams]
+    wl = [payload_words(s[i.data_offset:]) for s, i in zip(streams, infos)]
+    nw = 1 << max(4, int(np.ceil(np.log2(max(len(x) for x in wl)))))
+    wp = np.zeros((NBATCH, nw), np.uint64)
+    for j, x in enumerate(wl):
+        wp[j, : len(x)] = x
     nblocks = (h // 4) * (w // 4)
-    kind, val_pos, vrung, cf = _parse_best_sidecar(info.index_best, nblocks * nb)
-    dk = _decode_kernel(nblocks, nb, h, w, HILBERT, tuple(info.cband), True,
-                        "uint8", nw)
+    metas = [_parse_best_sidecar(i.index_best, nblocks * nb) for i in infos]
+    kind = np.stack([m[0] for m in metas])
+    val_pos = np.stack([m[1] for m in metas])
+    vrung = np.stack([m[2] for m in metas])
+    cf = np.stack([m[3] for m in metas])
+    R = max(_window_R_from_pos(v, 8) for v in val_pos)
+    dk = _batch_best_decode_kernel(NBATCH, nblocks, nb, h, w, HILBERT,
+                                   tuple(infos[0].cband), "uint8", nw, R)
     dargs = (jax.device_put(jnp.asarray(wp)), jnp.asarray(kind),
-             jnp.asarray(val_pos), jnp.asarray(vrung), jnp.asarray(cf),
-             jnp.zeros(nb, jnp.uint64))
+             jnp.asarray(val_pos), jnp.asarray(vrung), jnp.asarray(cf))
     out = dk(*dargs)
-    assert (np.asarray(out[0]) == img).all()
-    t_dec = sustained(lambda: dk(*dargs))
+    assert (np.asarray(out) == tiles).all()
+    t_dec = sustained(lambda: dk(*dargs)) / NBATCH
     rates["best"] = (raw_mb / t_enc, raw_mb / t_dec)
     print(f"  best: enc {rates['best'][0]:.0f} dec {rates['best'][1]:.0f} MB/s",
           flush=True)
