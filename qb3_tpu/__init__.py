@@ -27,4 +27,4 @@ from .errors import (QB3DataError, QB3Error, QB3HeaderError,  # noqa: E402,F401
 from .api import Decoder, Encoder, decode, encode, max_encoded_size  # noqa: E402,F401
 from .strip import StripDecoder, StripEncoder  # noqa: E402,F401
 
-__version__ = "0.1.0"
+__version__ = "0.2.0"
