@@ -222,7 +222,7 @@ def main():
     try:
         from qb3_tpu.batch import _batch_decode_kernel, _batch_encode_kernel
 
-        NB = 32  # amortizes per-dispatch latency (the serving shape batches)
+        NB = 128  # amortizes per-dispatch latency (the serving shape batches)
         tiles = np.stack([natural_image(h, w, nb, seed=100 + i) for i in range(NB)])
         ekb = _batch_encode_kernel(NB, (h, w, nb), "uint8", HILBERT, (1, 1, 1),
                                    True, n_words)
