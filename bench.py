@@ -228,7 +228,7 @@ def main():
                                    True, n_words)
         dtiles = jax.device_put(jnp.asarray(tiles))
         bw, bt, bg = ekb(dtiles)
-        t_benc = sustained(lambda: ekb(dtiles)) / NB
+        t_benc = sustained(lambda: ekb(dtiles), 10) / NB
         from qb3_tpu.batch import encode_tiles
 
         streams = encode_tiles(tiles, mode=qb3_tpu.Mode.FTL, index=True)
@@ -245,7 +245,7 @@ def main():
         dwp, dgl = jax.device_put(jnp.asarray(wp)), jax.device_put(jnp.asarray(gl))
         outb = dkb(dwp, dgl)
         assert (np.asarray(outb) == tiles).all(), "batched decode mismatch"
-        t_bdec = sustained(lambda: dkb(dwp, dgl)) / NB
+        t_bdec = sustained(lambda: dkb(dwp, dgl), 10) / NB
         benc_rate, bdec_rate = raw_mb / t_benc, raw_mb / t_bdec
         bcombined = raw_mb / (t_benc + t_bdec)
         print(f"# batch{NB} encode {benc_rate:.1f} MB/s, decode {bdec_rate:.1f} MB/s",
