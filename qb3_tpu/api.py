@@ -182,8 +182,15 @@ class Encoder:
     """Mirror of the encsp handle (QB3encode.cpp:26-57)."""
 
     def __init__(self, width: int, height: int, bands: int, dtype: DType):
+        # band cap: the reference encoder stops at 16 (QB3.h:34); this
+        # engine accepts the container's full 256 range (constants.py
+        # QB3_MAXBANDS_EXT) — streams with >16 bands are an extension the
+        # reference decoder will refuse (REFERENCE_BUGS.md documents the
+        # boundary)
+        from .constants import QB3_MAXBANDS_EXT
+
         if not (0 < width <= 0x10000 and 0 < height <= 0x10000
-                and 0 < bands <= QB3_MAXBANDS and 0 <= dtype <= DType.I64):
+                and 0 < bands <= QB3_MAXBANDS_EXT and 0 <= dtype <= DType.I64):
             raise ValueError("invalid encoder parameters")
         self.xsize = width
         self.ysize = height

@@ -14,8 +14,14 @@ import enum
 B = 4
 B2 = B * B
 
-# Maximum bands in a stream (QB3.h:34)
+# Maximum bands accepted by the reference encoder (QB3.h:34).  This engine
+# extends the cap to 256 (the container band-count byte's full range, which
+# the reference's own reader parses, QB3decode.cpp:139): hyperspectral
+# streams with 17..256 bands are a documented compat divergence — the
+# reference encoder refuses to produce them and its decoder rejects them at
+# qb3_read_start, but they are well-formed under the stream grammar.
 QB3_MAXBANDS = 16
+QB3_MAXBANDS_EXT = 256
 
 # Scan curves: 16 nibbles, each (y << 2 | x), MSB nibble first (QB3common.h:185,:193)
 ZCURVE = 0x0145236789CDABEF

@@ -95,37 +95,7 @@ def pack_groups(codes, lens, n_words: int, max_group_bits: int):
     magnitude fewer scatter points than per-symbol placement, with the fold
     running as pure vector ops.
     """
-    ngroups, S = codes.shape
-    wide = codes.dtype == jnp.uint64
-    il = jnp.cumsum(lens, axis=1, dtype=jnp.int32)
-    glen = il[:, -1]
-    io = il - lens  # intra-group exclusive offsets
-    gend = jnp.cumsum(glen.astype(jnp.int64))
-    total = gend[-1]
-    goff = gend - glen  # group bit offsets
-    phase = (goff & 31).astype(jnp.int32)
-    bitpos = phase[:, None] + io  # (ngroups, S)
-    W = (31 + max_group_bits + 31) // 32
-
-    k = bitpos >> 5
-    sh = (bitpos & 31).astype(jnp.uint64)
-    t = codes.astype(jnp.uint64) << sh
-    lo = (t & _M32_64).astype(jnp.uint32)
-    mid = (t >> jnp.uint64(32)).astype(jnp.uint32)
-    if wide:
-        hi = jnp.where(sh == 0, jnp.uint64(0),
-                       codes >> ((jnp.uint64(64) - sh) & 63)).astype(jnp.uint32)
-    def jbody(_, j):
-        acc = jnp.sum(jnp.where(k == j, lo, 0), axis=1, dtype=jnp.uint32)
-        acc = acc + jnp.sum(jnp.where(k == j - 1, mid, 0), axis=1, dtype=jnp.uint32)
-        if wide:
-            acc = acc + jnp.sum(jnp.where(k == j - 2, hi, 0), axis=1, dtype=jnp.uint32)
-        return None, acc
-
-    _, slabs = jax.lax.scan(jbody, None, jnp.arange(W, dtype=jnp.int32))
-    slab = jnp.moveaxis(slabs, 0, 1)  # (ngroups, W)
-
-    base = (goff >> 5).astype(jnp.int32)
+    slab, base, glen, total, W = _fold_slabs(codes, lens, max_group_bits)
     idx = base[:, None] + jnp.arange(W, dtype=jnp.int32)[None, :]
     out = jnp.zeros((n_words,), dtype=jnp.uint32)
     out = out.at[idx.reshape(-1)].add(slab.reshape(-1), mode="drop")
@@ -134,8 +104,15 @@ def pack_groups(codes, lens, n_words: int, max_group_bits: int):
 
 def _fold_slabs(codes, lens, max_group_bits: int):
     """Shared phase-B level 1: per-group symbols -> W-word slabs at the
-    group's bit phase, plus (base word offsets, glen, total bits)."""
+    group's bit phase, plus (base word offsets, glen, total bits).
+
+    The scan walks output words, re-reading the symbol streams per word
+    (a symbol-axis scan with the slab as carry was measured WORSE on chip:
+    the (ngroups, W) carry pads to 128 lanes and round-trips HBM every
+    step).  Wide types route to pack_chunks_pallas instead, which keeps the
+    slab in VMEM."""
     wide = codes.dtype == jnp.uint64
+    ngroups, S = codes.shape
     il = jnp.cumsum(lens, axis=1, dtype=jnp.int32)
     glen = il[:, -1]
     io = il - lens
@@ -224,6 +201,14 @@ def pack_groups_auto(codes, lens, n_words: int, max_group_bits: int):
     on_tpu = _jax.default_backend() == "tpu"
     if on_tpu and os.environ.get("QB3_PACK") == "onehot":
         return pack_groups_onehot(codes, lens, n_words, max_group_bits)
+    if on_tpu and max_group_bits > 400 \
+            and os.environ.get("QB3_PACK") not in ("scatter", "pallas"):
+        # wide types: the fused fold+place kernel (slab stays in VMEM, MXU
+        # one-hot placement) — the separate fold re-reads S symbol streams
+        # W times and is HBM-bound at u32/u64 widths
+        from .pack_pallas import pack_groups_chunked
+
+        return pack_groups_chunked(codes, lens, n_words, max_group_bits)
     if on_tpu and os.environ.get("QB3_PACK") != "scatter":
         pack = pack_groups_pallas
     else:
@@ -245,36 +230,7 @@ def pack_groups_pallas(codes, lens, n_words: int, max_group_bits: int,
     from .pack_pallas import place_slabs
 
     ngroups, S = codes.shape
-    wide = codes.dtype == jnp.uint64
-    il = jnp.cumsum(lens, axis=1, dtype=jnp.int32)
-    glen = il[:, -1]
-    io = il - lens
-    gend = jnp.cumsum(glen.astype(jnp.int64))
-    total = gend[-1]
-    goff = gend - glen
-    phase = (goff & 31).astype(jnp.int32)
-    bitpos = phase[:, None] + io
-    W = (31 + max_group_bits + 31) // 32
-
-    k = bitpos >> 5
-    sh = (bitpos & 31).astype(jnp.uint64)
-    t = codes.astype(jnp.uint64) << sh
-    lo = (t & _M32_64).astype(jnp.uint32)
-    mid = (t >> jnp.uint64(32)).astype(jnp.uint32)
-    if wide:
-        hi = jnp.where(sh == 0, jnp.uint64(0),
-                       codes >> ((jnp.uint64(64) - sh) & 63)).astype(jnp.uint32)
-
-    def jbody(_, j):
-        acc = jnp.sum(jnp.where(k == j, lo, 0), axis=1, dtype=jnp.uint32)
-        acc = acc + jnp.sum(jnp.where(k == j - 1, mid, 0), axis=1, dtype=jnp.uint32)
-        if wide:
-            acc = acc + jnp.sum(jnp.where(k == j - 2, hi, 0), axis=1, dtype=jnp.uint32)
-        return None, acc
-
-    _, slabs = jax.lax.scan(jbody, None, jnp.arange(W, dtype=jnp.int32))
-    slab = jnp.moveaxis(slabs, 0, 1)  # (ngroups, W)
-    base = (goff >> 5).astype(jnp.int32)
+    slab, base, glen, total, W = _fold_slabs(codes, lens, max_group_bits)
 
     G = tile_groups
     pad = (-ngroups) % G

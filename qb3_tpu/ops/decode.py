@@ -125,14 +125,14 @@ def decode_indexed_narrow(words64, glens, nblocks: int, nbands: int,
     words32 = jax.lax.bitcast_convert_type(words64, jnp.uint32).reshape(-1)
     if use_pallas:
         # MXU one-hot gather (gather.py): ~4x the masked-sum Pallas kernel
-        from .gather import gather_slabs_onehot
+        from .gather import gather_slabs_onehot8
 
         G = 128
         pad = (-ngroups) % G
         basep = jnp.concatenate([base, jnp.broadcast_to(base[-1], (pad,))]) if pad else base
         if R is None:
             R = -(-((G * gmax) // 32 + NREG + 130) // 128) * 128
-        regs_arr = gather_slabs_onehot(words32, basep, G, NREG, R)[:ngroups]
+        regs_arr = gather_slabs_onehot8(words32, basep, G, NREG, R)[:ngroups]
     else:
         regs_arr = words32[base[:, None] + jnp.arange(NREG)[None, :]]
     regs = [regs_arr[:, i] for i in range(NREG)]
@@ -420,7 +420,7 @@ def decode_groups_fused(words64, kind, val_pos, vrung, cf, apply_step: bool,
     off0 = (val_pos & 31).astype(jnp.int32)
     words32 = jax.lax.bitcast_convert_type(words64, jnp.uint32).reshape(-1)
     if use_mxu:
-        from .gather import gather_slabs_onehot
+        from .gather import gather_slabs_onehot8
 
         G = 128
         pad = (-ngroups) % G
@@ -428,7 +428,7 @@ def decode_groups_fused(words64, kind, val_pos, vrung, cf, apply_step: bool,
         if R is None:
             gmax = 224 if tbits == 8 else 376
             R = -(-((G * gmax) // 32 + NREG + 130) // 128) * 128
-        regs_arr = gather_slabs_onehot(words32, basep, G, NREG, R)[:ngroups]
+        regs_arr = gather_slabs_onehot8(words32, basep, G, NREG, R)[:ngroups]
     else:
         regs_arr = words32[base[:, None] + jnp.arange(NREG)[None, :]]
     regs = [regs_arr[:, i] for i in range(NREG)]

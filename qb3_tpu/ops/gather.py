@@ -77,6 +77,82 @@ def gather_slabs_onehot(words32, base, G: int, W: int, R: int,
     return out.reshape(ngroups, W)
 
 
+@functools.partial(jax.jit, static_argnames=("G", "W", "R", "level0"))
+def gather_slabs_onehot8(words32, base, G: int, W: int, R: int,
+                         level0: str | None = None):
+    """Two-level variant of gather_slabs_onehot: the slab-pick matmul works
+    on 8-word-aligned chunks, then a tiny 8-way select realigns to the exact
+    word phase.
+
+    The direct formulation replicates the tile window W times (winsh is
+    (R, W*4) bytes); at wide-type register counts (u64: W=36) that
+    materialized-window traffic dominates decode.  Chunking at 8 words cuts
+    the replication to ceil((7+W)/8)+1 chunks (u64: 6) — the matmul gathers
+    48 aligned words per group and the final (ngroups, W) slab is selected
+    from them by the 3-bit phase, fully fused elementwise.
+    """
+    ngroups = base.shape[0]
+    n_tiles = ngroups // G
+    nch = (7 + W + 7) // 8  # 8-word chunks covering any phase + W words
+    nrows = R // 128 + 1
+    base = base.astype(jnp.int32)
+    wrow = base[::G] >> 7
+    rel = base.reshape(n_tiles, G) - (wrow[:, None] << 7)
+
+    if level0 is None:  # the DMA kernel needs the TPU backend
+        level0 = "dma" if jax.default_backend() == "tpu" else "matmul"
+    if level0 == "dma":
+        from .pack_pallas import extract_windows
+
+        win = extract_windows(words32, wrow, nrows * 128)
+    else:
+        wpad = (-words32.shape[0]) % 128
+        if wpad:
+            words32 = jnp.concatenate(
+                [words32, jnp.zeros(wpad, words32.dtype)])
+        words2d = words32.reshape(-1, 128)
+        total_rows = words2d.shape[0]
+        row_idx = wrow[:, None] + jnp.arange(nrows, dtype=jnp.int32)[None, :]
+        if level0 == "matmul":
+            rows1h = (row_idx.reshape(-1, 1) ==
+                      jnp.arange(total_rows, dtype=jnp.int32)[None, :])
+            wbytes = jax.lax.bitcast_convert_type(words2d, jnp.uint8).reshape(
+                total_rows, 512)
+            win = jax.lax.dot_general(
+                rows1h.astype(jnp.int8), wbytes.astype(jnp.int8),
+                (((1,), (0,)), ((), ())), preferred_element_type=jnp.int32)
+            win = jax.lax.bitcast_convert_type(
+                win.astype(jnp.uint8).reshape(n_tiles, nrows, 128, 4),
+                jnp.uint32).reshape(n_tiles, nrows * 128)
+        else:
+            win = words2d[jnp.clip(row_idx, 0, total_rows - 1)]
+            win = win.reshape(n_tiles, nrows * 128)
+
+    R8 = R // 8
+    win8 = win.reshape(n_tiles, nrows * 16, 8)
+    # winsh8[t, r8, c] = win8[t, r8 + c]; replication factor nch, not W
+    winsh8 = jnp.stack([win8[:, c : c + R8] for c in range(nch)], axis=2)
+    wsb = jax.lax.bitcast_convert_type(winsh8, jnp.uint8).reshape(
+        n_tiles, R8, nch * 32)
+    onehot = ((rel >> 3)[:, :, None] ==
+              jnp.arange(R8, dtype=jnp.int32)[None, None, :])
+    out = jax.lax.dot_general(
+        onehot.astype(jnp.int8), wsb.astype(jnp.int8),
+        (((2,), (1,)), ((0,), (0,))), preferred_element_type=jnp.int32)
+    out48 = jax.lax.bitcast_convert_type(
+        out.astype(jnp.uint8).reshape(n_tiles, G, nch * 8, 4),
+        jnp.uint32).reshape(ngroups, nch * 8)
+    # realign: out[g, j] = out48[g, (base & 7) + j]
+    ph = (rel & 7).reshape(-1)
+    outs = []
+    for j in range(W):
+        acc = out48[:, j]
+        for p in range(1, 8):
+            acc = jnp.where(ph == p, out48[:, j + p], acc)
+        outs.append(acc)
+    return jnp.stack(outs, axis=1)
+
+
 @functools.partial(jax.jit, static_argnames=("n_words", "G", "W", "R"))
 def place_slabs_onehot(slab, base, n_words: int, G: int, W: int, R: int):
     """Scatter-side dual of gather_slabs_onehot: per-group W-word slabs ->

@@ -84,6 +84,209 @@ def _gather_kernel(R: int, G: int, W: int, SUB: int):
     return kernel
 
 
+def _pack_chunks_kernel(S: int, G: int, W48: int, R8T: int, wide: bool):
+    """Fused fold + placement for one tile of G groups.
+
+    Stage A folds each group's pre-shifted symbol contributions into a
+    (W48, G) slab (phase folded into the word index, so slabs are 8-word
+    aligned); stage B places all slabs with ONE f32 one-hot matmul on the
+    MXU — mask (R8T, G) @ slab bytes (G, 4*W48) — followed by a static
+    diagonal combine.  Exactness: one-hot rows select single byte values,
+    and bytes from different groups overlap only on disjoint bits, so the
+    f32 sums stay <= 255 per byte and reassemble to the serial stream's OR.
+    """
+    nch = W48 // 8
+    srl = jax.lax.shift_right_logical
+
+    def kernel(ws8_ref, rel8_ref, pcomb_ref, lens_ref, code_ref, out_ref,
+               slab_ref):
+        t = pl.program_id(0)
+        start8 = pl.multiple_of(ws8_ref[t], 128)
+        wio = jax.lax.broadcasted_iota(jnp.int32, (W48, G), 0)
+        slab_ref[...] = jnp.zeros((W48, G), jnp.int32)
+        # stage A with the per-symbol prep fused in: the intra-group length
+        # cumsum, bit phase, and the u32-pair code shifts all run on dense
+        # (1, G) rows here instead of lane-padded (ngroups, S) XLA arrays
+        pcomb = pcomb_ref[0, 0, :].reshape(1, G)
+        io = jnp.zeros((1, G), jnp.int32)
+        for s in range(S):
+            ln = lens_ref[s, :].reshape(1, G)
+            bp = pcomb + io
+            io = io + ln
+            ks = srl(bp, 5)
+            sh = bp & 31
+            nz = sh != 0
+            ish = 32 - sh
+            if wide:
+                lo32 = code_ref[2 * s, :].reshape(1, G)
+                hi32 = code_ref[2 * s + 1, :].reshape(1, G)
+                lo = lo32 << sh
+                mid = jnp.where(nz, srl(lo32, ish) | (hi32 << sh), hi32)
+                hi = jnp.where(nz, srl(hi32, ish), 0)
+            else:
+                lo32 = code_ref[s, :].reshape(1, G)
+                lo = lo32 << sh
+                mid = jnp.where(nz, srl(lo32, ish), 0)
+            add = jnp.where(wio == ks, lo, 0)
+            add = add + jnp.where(wio == ks + 1, mid, 0)
+            if wide:
+                add = add + jnp.where(wio == ks + 2, hi, 0)
+            slab_ref[...] = slab_ref[...] + add
+
+        slabG = jnp.transpose(slab_ref[...], (1, 0))  # (G, W48)
+        r8io = jax.lax.broadcasted_iota(jnp.int32, (R8T, G), 0)
+        mask = (r8io == rel8_ref[0, 0, :].reshape(1, G)).astype(jnp.bfloat16)
+        rowio = jax.lax.broadcasted_iota(jnp.int32, (R8T, 8), 0)
+        # per-byte one-hot matmuls (bytes <= 255 are exact in bf16), then a
+        # diagonal combine: plane (b, kk) at chunk r8 collects slab word
+        # c*8+kk placed by groups at chunk r8-c
+        word = jnp.zeros((R8T, 8), jnp.int32)
+        for b in range(4):
+            byteb = ((slabG >> (8 * b)) & 255).astype(jnp.bfloat16)
+            Mb = jax.lax.dot_general(mask, byteb, (((1,), (0,)), ((), ())),
+                                     preferred_element_type=jnp.float32)
+            res = Mb[:, 0:8]
+            for c in range(1, nch):
+                rolled = pltpu.roll(Mb[:, c * 8 : c * 8 + 8], c, 0)
+                res = res + jnp.where(rowio >= c, rolled, jnp.float32(0))
+            word = word + (res.astype(jnp.int32) << (8 * b))
+        planes = jnp.transpose(word, (1, 0))  # (8, R8T)
+
+        prev8 = ws8_ref[jnp.maximum(t - 1, 0)]
+        fresh_from = jnp.where(t == 0, 0, prev8 + R8T - start8)
+        lane = jax.lax.broadcasted_iota(jnp.int32, (1, R8T), 1)
+        win = out_ref[:, pl.ds(start8, R8T)]
+        kept = jnp.where(lane >= fresh_from, jnp.int32(0), win)
+        out_ref[:, pl.ds(start8, R8T)] = kept + planes
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=("n_words", "max_group_bits", "G",
+                                             "interpret"))
+def pack_groups_chunked(codes, lens, n_words: int, max_group_bits: int,
+                        G: int = 128, interpret: bool = False):
+    """pack_groups via the fused fold+place kernel: slabs never touch HBM
+    and placement is an MXU one-hot matmul per tile instead of O(W x R)
+    masked passes.  Drop-in signature/semantics of pack_groups."""
+    ngroups, S = codes.shape
+    wide = codes.dtype == jnp.uint64
+    lens_i = lens.astype(jnp.int32)
+    glen = jnp.sum(lens_i, axis=1)
+    gend = jnp.cumsum(glen.astype(jnp.int64))
+    total = gend[-1]
+    goff = gend - glen
+    W = (31 + max_group_bits + 31) // 32
+    W48 = -(-(W + 7) // 8) * 8
+    base = (goff >> 5).astype(jnp.int32)
+    phase = (goff & 31).astype(jnp.int32)
+
+    pad = (-ngroups) % G
+    if pad:
+        codes = jnp.concatenate([codes, jnp.zeros((pad, S), codes.dtype)])
+        lens_i = jnp.concatenate([lens_i, jnp.zeros((pad, S), jnp.int32)])
+        base = jnp.concatenate([base, jnp.broadcast_to(base[-1], (pad,))])
+        phase = jnp.concatenate([phase, jnp.zeros(pad, jnp.int32)])
+    n_tiles = base.shape[0] // G
+    wstart = (base[::G] >> 10) << 10  # 1024-word aligned windows
+    rel = base.reshape(n_tiles, G) - wstart[:, None]
+    pcomb = ((rel.reshape(-1) & 7) << 5) + phase  # 8-word + bit phase
+    rel8 = rel >> 3
+    R = (G * max_group_bits) // 32 + 1024 + W48 + 16
+    R = -(-R // 1024) * 1024
+    R8T = R // 8
+    n_out = -(-n_words // 1024) * 1024 + R
+    NW8 = n_out // 8
+
+    lensT = jnp.transpose(lens_i)  # (S, npad)
+    if wide:
+        c2 = jax.lax.bitcast_convert_type(codes, jnp.uint32)  # (n, S, 2)
+        codeT = jnp.transpose(c2.reshape(-1, 2 * S))  # rows 2s=lo, 2s+1=hi
+    else:
+        codeT = jnp.transpose(codes.astype(jnp.uint32))
+    codeT = jax.lax.bitcast_convert_type(codeT, jnp.int32)
+    SC = codeT.shape[0]
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(n_tiles,),
+        in_specs=[
+            pl.BlockSpec((1, 1, G), lambda t, ws: (t, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, G), lambda t, ws: (t, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((S, G), lambda t, ws: (0, t),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((SC, G), lambda t, ws: (0, t),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        scratch_shapes=[pltpu.VMEM((W48, G), jnp.int32)],
+    )
+    kernel = _pack_chunks_kernel(S, G, W48, R8T, wide)
+    with jax.enable_x64(False):
+        out = pl.pallas_call(
+            kernel,
+            grid_spec=grid_spec,
+            out_shape=jax.ShapeDtypeStruct((8, NW8), jnp.int32),
+            compiler_params=pltpu.CompilerParams(has_side_effects=True),
+            interpret=interpret,
+        )((wstart >> 3).astype(jnp.int32),
+          rel8.astype(jnp.int32).reshape(n_tiles, 1, G),
+          pcomb.astype(jnp.int32).reshape(n_tiles, 1, G),
+          lensT, codeT)
+    words = jax.lax.bitcast_convert_type(
+        jnp.transpose(out, (1, 0)), jnp.uint32).reshape(-1)[:n_words]
+    return words, total, glen.astype(jnp.uint16)
+
+
+def _extract_kernel(nrows: int):
+    def kernel(wrow_ref, words_ref, out_ref, sem):
+        t = pl.program_id(0)
+        dma = pltpu.make_async_copy(
+            words_ref.at[pl.ds(wrow_ref[t], nrows)], out_ref.at[0], sem)
+        dma.start()
+        dma.wait()
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=("R", "interpret"))
+def extract_windows(words32, wrow, R: int, interpret: bool = False):
+    """Per-tile stream windows by direct DMA: out[t] = words32 rows
+    [wrow[t], wrow[t] + R/128) of the (n, 128) row view -> (n_tiles, R) u32.
+
+    Replaces the one-hot row matmul (O(n_tiles * total_rows) one-hot bytes)
+    with n_tiles dynamic-offset HBM->VMEM copies; wrow must be row indices
+    (the caller's 128-aligned window starts >> 7) within bounds.
+    """
+    n_tiles = wrow.shape[0]
+    nrows = R // 128
+    wpad = (-words32.shape[0]) % 128
+    if wpad:
+        words32 = jnp.concatenate([words32, jnp.zeros(wpad, words32.dtype)])
+    words2d = jax.lax.bitcast_convert_type(words32, jnp.int32).reshape(-1, 128)
+    # DMA slack: the last window may extend past the stream
+    words2d = jnp.concatenate(
+        [words2d, jnp.zeros((nrows, 128), jnp.int32)], axis=0)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(n_tiles,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+        out_specs=pl.BlockSpec((1, nrows, 128), lambda t, ws: (t, 0, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[pltpu.SemaphoreType.DMA(())],
+    )
+    with jax.enable_x64(False):
+        out = pl.pallas_call(
+            _extract_kernel(nrows),
+            grid_spec=grid_spec,
+            out_shape=jax.ShapeDtypeStruct((n_tiles, nrows, 128), jnp.int32),
+            interpret=interpret,
+        )(wrow.astype(jnp.int32), words2d)
+    return jax.lax.bitcast_convert_type(out, jnp.uint32).reshape(n_tiles, R)
+
+
 @functools.partial(jax.jit, static_argnames=("G", "W", "R", "interpret", "sub"))
 def gather_slabs(words32, base, G: int, W: int, R: int,
                  interpret: bool = False, sub: int = SUB):

@@ -63,6 +63,7 @@ class StripEncoder:
         self._parts = []        # (words u32, nbits) per encoded strip
         self._glens = []
         self._rungs = []
+        self._best_meta = []    # (meta16, cfv) per strip, for the "ib" sidecar
         self._done = False
 
     # ------------------------------------------------------------------ feed
@@ -125,12 +126,14 @@ class StripEncoder:
         elif is_best_mode(self.mode):
             kern = _best_kernel((h, w, nb), uns.dtype.name, order,
                                 tuple(e.cband), n_words)
-            words, total, xp, xr, xcf, glen, _meta, _cfv = kern(
+            words, total, xp, xr, xcf, glen, meta16, cfv = kern(
                 uns, e.band_prev.astype(uns.dtype), e.band_runbits,
                 e.band_cf.astype(uns.dtype))
             e.band_prev = np.asarray(xp).astype(np.uint64)
             e.band_runbits = np.asarray(xr)
             e.band_cf = np.asarray(xcf).astype(np.uint64)
+            if self.with_index:
+                self._best_meta.append((np.asarray(meta16), np.asarray(cfv)))
             rung = None
         else:
             raise QB3ShapeError(f"unsupported streaming mode {self.mode}")
@@ -168,8 +171,19 @@ class StripEncoder:
                                            np.zeros(e.nbands, np.int32), k)
                 if int(spans.sum()) < 1 << 31:
                     index, index_sig = pack_ic(spans, entry, k), b"ic"
-            elif is_best_mode(self.mode):
-                index = None  # "ib" would need the meta streams; not kept
+            elif is_best_mode(self.mode) and self._best_meta:
+                # same "ib" payload as Encoder._best_sidecar (api.py),
+                # assembled from the per-strip meta/cf streams
+                from .offsets import KIND_CF, KIND_CF0
+
+                meta16 = np.concatenate([m for m, _ in self._best_meta])
+                cfv = np.concatenate([c for _, c in self._best_meta])
+                kind = meta16 & 7
+                cfm = cfv[(kind == KIND_CF) | (kind == KIND_CF0)].astype(np.uint64)
+                if not (cfm.size and int(cfm.max()) > 0xFFFF):
+                    index, index_sig = (glens.astype("<u2").tobytes()
+                                        + meta16.astype("<u2").tobytes()
+                                        + cfm.astype("<u2").tobytes()), b"ib"
             else:
                 index = glens.astype("<u2").tobytes()
         header = container.write_headers(

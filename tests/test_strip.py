@@ -160,3 +160,23 @@ def test_strip_roundtrip_streaming_both_ways():
         se.push(img[y : y + 16])
     s = se.finish()
     np.testing.assert_array_equal(stream_out(s, chunk=16), img)
+
+
+def test_best_ib_sidecar_kept():
+    """Streamed best-mode encode with index keeps the "ib" sidecar and the
+    stream matches the whole-image indexed encode byte-for-byte (round-2
+    verdict weak item 5: strip.py used to drop it)."""
+    from qb3_tpu import container
+
+    img = corpus.natural8(64, 48, 3, seed=92)
+    h, w, c = img.shape
+    e = Encoder(w, h, c, DT_FROM_NP[img.dtype])
+    e.set_mode(Mode.CF_H)
+    e.with_index = True
+    ref = e.encode(img)
+    got = stream_in_pieces(img, Mode.CF_H, [16, 48], with_index=True)
+    assert got == ref
+    info = container.parse_headers(got)
+    assert info.index_best is not None
+    dec, _ = qb3_tpu.decode(got)
+    assert (dec == img).all()
