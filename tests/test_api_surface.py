@@ -84,7 +84,7 @@ def test_invalid_encoder_params():
     with pytest.raises(ValueError):
         Encoder(0, 10, 1, DType.U8)
     with pytest.raises(ValueError):
-        Encoder(10, 10, 17, DType.U8)
+        Encoder(10, 10, 257, DType.U8)  # engine extension caps at 256 bands
     with pytest.raises(ValueError):
         Encoder(70000, 10, 1, DType.U8)
     e = Encoder(10, 10, 1, DType.U8)
