@@ -34,13 +34,14 @@ def natural_image(h, w, bands, seed=42):
 
 
 def sustained(fn, iters=30):
-    """Async-dispatch sustained seconds/call (pipeline the device queue)."""
-    import jax
-    jax.block_until_ready(fn())  # warmup/compile
-    t0 = time.perf_counter()
-    outs = [fn() for _ in range(iters)]
-    jax.block_until_ready(outs)
-    return (time.perf_counter() - t0) / iters
+    """Async-dispatch sustained seconds/call (pipeline the device queue).
+
+    Syncs via a device-to-host fetch of the last queued result:
+    block_until_ready can return early on relay-tunneled platforms
+    (qb3_tpu/benchutil.py), which would time enqueue latency instead of
+    compute."""
+    from qb3_tpu.benchutil import sustained as _s
+    return _s(fn, iters)
 
 
 def mode_matrix():

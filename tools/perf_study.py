@@ -107,11 +107,8 @@ def rate_study(args):
     from corpus import photo8
 
     def sustained(fn, iters=12):
-        jax.block_until_ready(fn())
-        t0 = time.perf_counter()
-        outs = [fn() for _ in range(iters)]
-        jax.block_until_ready(outs)
-        return (time.perf_counter() - t0) / iters
+        from qb3_tpu.benchutil import sustained as _s
+        return _s(fn, iters)
 
     h = w = args.size
     nb = 3

@@ -15,12 +15,8 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 
 def sustained(fn, iters=20):
-    import jax
-    jax.block_until_ready(fn())
-    t0 = time.perf_counter()
-    outs = [fn() for _ in range(iters)]
-    jax.block_until_ready(outs)
-    return (time.perf_counter() - t0) / iters
+    from qb3_tpu.benchutil import sustained as _s
+    return _s(fn, iters)
 
 
 def main():
