@@ -235,15 +235,16 @@ def main():
         streams = encode_tiles(tiles, mode=qb3_tpu.Mode.FTL, index=True)
         infos = [container.parse_headers(s) for s in streams]
         wl = [payload_words(s[i.data_offset:]) for s, i in zip(streams, infos)]
-        nwb = 1 << max(4, int(np.ceil(np.log2(max(len(x) for x in wl)))))
-        wp = np.zeros((NB, nwb), np.uint64)
-        for j, x in enumerate(wl):
-            wp[j, : len(x)] = x
+        from qb3_tpu.batch import _flat_tile_layout, _flat_window_R
+        flat, tw32 = _flat_tile_layout(wl)
         gl = np.stack([np.frombuffer(i.index, dtype="<u2").astype(np.int32)
                        for i in infos])
+        Rb = _flat_window_R(gl, tw32, 8)
         dkb = _batch_decode_kernel(NB, nblocks, nb, h, w, HILBERT,
-                                   tuple(infos[0].cband), False, "uint8", nwb)
-        dwp, dgl = jax.device_put(jnp.asarray(wp)), jax.device_put(jnp.asarray(gl))
+                                   tuple(infos[0].cband), False, "uint8",
+                                   flat.size, Rb, tw32)
+        dwp = jax.device_put(jnp.asarray(flat.reshape(-1)))
+        dgl = jax.device_put(jnp.asarray(gl.reshape(-1)))
         outb = dkb(dwp, dgl)
         assert (np.asarray(outb) == tiles).all(), "batched decode mismatch"
         t_bdec = sustained(lambda: dkb(dwp, dgl), 10) / NB

@@ -60,43 +60,70 @@ def _batch_best_kernel(n, shape, npdtype, order, cband, n_words):
 @functools.lru_cache(maxsize=32)
 def _batch_best_decode_kernel(n, nblocks, nbands, h, w, order, cband,
                               npdtype, n_words, R=None):
-    from .ops.decode import decode_groups_fused, reconstruct
+    """Flat multi-tile best-mode decode: val_pos already carries per-tile
+    word bases, so one decode_groups_fused pass covers the whole batch."""
+    from .ops.decode import decode_groups_fused, reconstruct_batch
 
     out_dtype = np.dtype(npdtype)
     tbits = out_dtype.itemsize * 8
 
-    def one(words64, kind, val_pos, vrung, cf):
-        g = decode_groups_fused(words64, kind, val_pos, vrung, cf, True,
+    def run(words64_flat, kind, val_pos, vrung, cf):
+        g = decode_groups_fused(words64_flat, kind, val_pos, vrung, cf, True,
                                 tbits, jax.default_backend() == "tpu", R)
-        g = g.reshape(nblocks, nbands, B2)
-        img, _ = reconstruct(g, jnp.zeros(nbands, jnp.uint64), h, w, nbands,
-                             order, cband, out_dtype)
-        return img
+        g = g.reshape(n, nblocks, nbands, B2)
+        return reconstruct_batch(g, h, w, nbands, order, cband, out_dtype)
 
-    return jax.jit(jax.vmap(one))
+    return jax.jit(run)
 
 
 @functools.lru_cache(maxsize=32)
 def _batch_decode_kernel(n, nblocks, nbands, h, w, order, cband, apply_step,
-                         npdtype, n_words, R=None):
-    from .api import _decode_kernel_indexed  # reuse the single-tile body
-    from .constants import ubits_for
-    from .ops.decode import reconstruct
+                         npdtype, n_words, R=None, tile_words32=0):
+    """Flat multi-tile indexed decode: one gather + wavefront over the
+    concatenated batch (ntiles * nblocks * nbands groups).  vmapping the
+    single-tile kernel instead serializes the gather (measured 41 MB/s/tile
+    vs 400+ single-dispatch on v5e)."""
+    from .ops.decode import decode_indexed_narrow, reconstruct_batch
 
     out_dtype = np.dtype(npdtype)
-    ubits = ubits_for(out_dtype.itemsize)
     tbits = out_dtype.itemsize * 8
 
-    def one(words64, glens):
-        from .ops.decode import decode_indexed_narrow
-        g = decode_indexed_narrow(words64, glens, nblocks, nbands, apply_step,
-                                  jax.default_backend() == "tpu", tbits, R)
-        g = g.reshape(nblocks, nbands, B2)
-        img, _ = reconstruct(g, jnp.zeros(nbands, jnp.uint64), h, w, nbands,
-                             order, cband, out_dtype)
-        return img
+    def run(words64_flat, glens_flat):
+        g = decode_indexed_narrow(words64_flat, glens_flat, nblocks, nbands,
+                                  apply_step, jax.default_backend() == "tpu",
+                                  tbits, R, ntiles=n,
+                                  tile_words32=tile_words32)
+        g = g.reshape(n, nblocks, nbands, B2)
+        return reconstruct_batch(g, h, w, nbands, order, cband, out_dtype)
 
-    return jax.jit(jax.vmap(one))
+    return jax.jit(run)
+
+
+def _flat_tile_layout(wlists):
+    """Concatenate per-tile u64 payload words at a fixed 64-word-aligned
+    stride -> (flat words (n, tw64) u64, tile stride in u32 words)."""
+    tw64 = max(len(x) for x in wlists) + 2
+    tw64 = -(-tw64 // 64) * 64  # 128-u32-row alignment for the DMA gather
+    flat = np.zeros((len(wlists), tw64), np.uint64)
+    for j, x in enumerate(wlists):
+        flat[j, : len(x)] = x
+    return flat, tw64 * 2
+
+
+def _flat_window_R(glens2d: np.ndarray, tile_words32: int, tbits: int,
+                   G: int = 128) -> int:
+    """Gather window size over the flat layout (incl. cross-tile jumps)."""
+    from .ops.decode import _NREG_IX
+
+    nreg = _NREG_IX[tbits]
+    n = glens2d.shape[0]
+    ends = np.cumsum(glens2d.astype(np.int64), axis=1)
+    tbase = (np.arange(n, dtype=np.int64) * tile_words32 * 32)[:, None]
+    b = ((ends - glens2d + tbase).reshape(-1)) >> 5
+    starts = b[::G]
+    last = b[np.minimum(np.arange(len(starts)) * G + G - 1, len(b) - 1)]
+    R = int((last - starts).max()) + nreg + 130
+    return max(256, -(-R // 256) * 256)
 
 
 def encode_tiles(imgs: np.ndarray, mode: int = Mode.FTL, coreband=None,
@@ -174,35 +201,35 @@ def decode_tiles(streams: list[bytes]) -> np.ndarray:
     order = i0.order or HILBERT
 
     wlists = [payload_words(s[i.data_offset:]) for s, i in zip(streams, infos)]
-    n_words = 1 << max(4, int(np.ceil(np.log2(max(len(x) for x in wlists)))))
-    wpad = np.zeros((len(streams), n_words), np.uint64)
-    for j, x in enumerate(wlists):
-        wpad[j, : len(x)] = x
+    flat, tile_words32 = _flat_tile_layout(wlists)
+    n_words = flat.size
     tb = np.dtype(uns_dt).itemsize * 8
+    n = len(streams)
     if best:
         from .api import _parse_best_sidecar, _window_R_from_pos
 
         metas = [_parse_best_sidecar(i.index_best, nblocks * nb) for i in infos]
         if any(m is None for m in metas):
             raise QB3ShapeError("inconsistent ib sidecar")
-        kind = np.stack([m[0] for m in metas])
-        val_pos = np.stack([m[1] for m in metas])
-        vrung = np.stack([m[2] for m in metas])
-        cf = np.stack([m[3] for m in metas])
-        R = max(_window_R_from_pos(v, tb) for v in val_pos) if tb <= 16 else None
-        kern = _batch_best_decode_kernel(len(streams), nblocks, nb, h, w,
+        tbase = (np.arange(n, dtype=np.int64) * tile_words32 * 32)[:, None]
+        kind = np.stack([m[0] for m in metas]).reshape(-1)
+        val_pos = (np.stack([m[1] for m in metas]) + tbase).reshape(-1)
+        vrung = np.stack([m[2] for m in metas]).reshape(-1)
+        cf = np.stack([m[3] for m in metas]).reshape(-1)
+        R = _window_R_from_pos(val_pos, tb) if tb <= 16 else None
+        kern = _batch_best_decode_kernel(n, nblocks, nb, h, w,
                                          order, tuple(i0.cband),
                                          np.dtype(uns_dt).name, n_words, R)
-        out = np.asarray(kern(jnp.asarray(wpad), jnp.asarray(kind),
+        out = np.asarray(kern(jnp.asarray(flat.reshape(-1)), jnp.asarray(kind),
                               jnp.asarray(val_pos), jnp.asarray(vrung),
                               jnp.asarray(cf)))
         return out.view(np_dt)
     glens = np.stack([
         np.frombuffer(i.index, dtype="<u2").astype(np.int32) for i in infos])
-    from .api import _indexed_window_R
-    R = max(_indexed_window_R(g, tb) for g in glens)
-    kern = _batch_decode_kernel(len(streams), nblocks, nb, h, w, order,
+    R = _flat_window_R(glens, tile_words32, tb)
+    kern = _batch_decode_kernel(n, nblocks, nb, h, w, order,
                                 tuple(i0.cband), i0.mode != Mode.FTL,
-                                np.dtype(uns_dt).name, n_words, R)
-    out = np.asarray(kern(jnp.asarray(wpad), jnp.asarray(glens)))
+                                np.dtype(uns_dt).name, n_words, R, tile_words32)
+    out = np.asarray(kern(jnp.asarray(flat.reshape(-1)),
+                          jnp.asarray(glens.reshape(-1))))
     return out.view(np_dt)

@@ -3,9 +3,12 @@
 On relay-tunneled platforms (axon), ``jax.block_until_ready`` can return as
 soon as the dispatch is acknowledged, long before the computation finishes —
 timings taken that way measure enqueue latency, not compute.  The only
-reliable barrier is a device-to-host fetch: single-device XLA executes
-enqueued computations in order, so fetching any leaf of the *last* queued
-result completes only after every earlier call has finished.
+reliable barrier is a device-to-host fetch.  But the relay's D2H path is
+slow (~20 MB/s measured), so fetching any real output leaf poisons the
+timing with transfer cost.  The barrier therefore reduces the last queued
+output to ONE scalar on device (a jitted sum over every leaf — in-order
+execution then guarantees every earlier queued call has finished) and
+fetches only that.
 
 All bench/profiling code must use :func:`sustained` (or :func:`sync`) from
 here rather than ``block_until_ready``.
@@ -17,25 +20,43 @@ import time
 
 import numpy as np
 
+_probe_cache = {}
+
+
+def _probe_fn():
+    import jax
+    import jax.numpy as jnp
+
+    if "fn" not in _probe_cache:
+        def reduce_tree(tree):
+            leaves = [x for x in jax.tree_util.tree_leaves(tree)
+                      if hasattr(x, "dtype")]
+            acc = jnp.zeros((), jnp.float32)
+            for x in leaves:
+                acc = acc + jnp.sum(x, dtype=jnp.float32)
+            return acc
+
+        _probe_cache["fn"] = jax.jit(reduce_tree)
+    return _probe_cache["fn"]
+
 
 def sync(tree) -> None:
-    """Hard barrier: fetch the smallest array leaf of ``tree`` to host."""
+    """Hard barrier: device-side scalar reduction of ``tree``, tiny fetch."""
     import jax
 
     leaves = [x for x in jax.tree_util.tree_leaves(tree)
-              if hasattr(x, "nbytes")]
+              if hasattr(x, "dtype")]
     if not leaves:
         return
-    small = min(leaves, key=lambda x: x.nbytes)
-    np.asarray(small)
+    np.asarray(_probe_fn()(tree))
 
 
 def sustained(fn, iters: int = 30) -> float:
     """Sustained seconds/call: queue ``iters`` calls (device pipelining
     stays enabled), then barrier once on the last result.  The single
-    trailing fetch (~ms) is amortized across ``iters`` and biases the
-    result slightly slow — the honest direction."""
-    sync(fn())  # warmup/compile
+    trailing scalar reduction+fetch is amortized across ``iters`` and
+    biases the result slightly slow — the honest direction."""
+    sync(fn())  # warmup/compile (incl. the probe for this output tree)
     t0 = time.perf_counter()
     outs = [fn() for _ in range(iters)]
     sync(outs[-1])

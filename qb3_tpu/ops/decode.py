@@ -100,7 +100,8 @@ _GMAX_IX = {8: 150, 16: 280, 32: 540, 64: 1056}
 
 def decode_indexed_narrow(words64, glens, nblocks: int, nbands: int,
                           apply_step: bool, use_pallas: bool, tbits: int = 8,
-                          R: int | None = None):
+                          R: int | None = None, ntiles: int = 1,
+                          tile_words32: int = 0):
     """Fused sidecar-indexed decode, all element widths.
 
     One MXU one-hot gather per group loads its register window; the
@@ -109,14 +110,26 @@ def decode_indexed_narrow(words64, glens, nblocks: int, nbands: int,
     span at most 150/280/540/1056 bits (8/12/20/36 u32 regs); 8-bit lanes
     use 32-bit value windows, wider types 64-bit windows (u64 includes the
     rung-63 65-bit long form).
+
+    ntiles > 1 decodes a batch of same-shape independent streams in one
+    flat pass (replacing vmap, which serializes the gather kernel): the
+    payloads are concatenated with a fixed stride of tile_words32 uint32
+    words, glens is (ntiles * nblocks * nbands,), and every per-tile state
+    (bit cursor, rung chain) resets at tile boundaries.
     """
     W = jnp.uint32 if tbits <= 16 else jnp.uint64
     ubits = {8: 3, 16: 4, 32: 5, 64: 6}[tbits]
     nmask = (1 << ubits) - 1
-    ngroups = nblocks * nbands
+    ngroups = ntiles * nblocks * nbands
     # int32 bit cursors: callers guard total bits < 2^31 (api._decode_core)
-    ends = jnp.cumsum(glens.astype(jnp.int32))
-    goff = ends - glens  # group start bit offsets
+    if ntiles == 1:
+        ends = jnp.cumsum(glens.astype(jnp.int32))
+        goff = ends - glens  # group start bit offsets
+    else:
+        g2 = glens.reshape(ntiles, nblocks * nbands).astype(jnp.int32)
+        ends2 = jnp.cumsum(g2, axis=1)
+        tbase = (jnp.arange(ntiles, dtype=jnp.int32) * (tile_words32 * 32))
+        goff = (ends2 - g2 + tbase[:, None]).reshape(-1)
     base = (goff >> 5).astype(jnp.int32)
     off0 = (goff & 31).astype(jnp.int32)
 
@@ -172,7 +185,8 @@ def decode_indexed_narrow(words64, glens, nblocks: int, nbands: int,
     idx = ((w0 >> 1) & w0.dtype.type(((1 << (ubits + 1)) - 1))).astype(jnp.int32)
     cs_len = jnp.where(has_cs, _DSW_LEN[ubits, idx], 1)
     delta = jnp.where(has_cs, _DSW_DELTA[ubits, idx], 0)
-    rung = (jnp.cumsum(delta.reshape(nblocks, nbands), axis=0) & nmask).reshape(-1)
+    rung = (jnp.cumsum(delta.reshape(ntiles, nblocks, nbands), axis=1)
+            & nmask).reshape(-1)
     rung0 = rung == 0
     flag = ((w0 >> cs_len.astype(w0.dtype)) & 1).astype(jnp.int32)
     is_bits = rung0 & (flag == 1)
@@ -596,6 +610,38 @@ def decode_groups(words64, kind, val_pos, vrung, cf, apply_step: bool,
         g = jnp.where(is_cf0[:, None], jnp.where(g != 0, neg[:, None], 0), g)
     # BITS groups: value bits decode as 0/1 mag-sign directly
     return g, pos
+
+
+def reconstruct_batch(groups, h: int, w: int, nbands: int, order: int,
+                      cband: tuple[int, ...], out_dtype):
+    """Flat multi-tile reconstruct: (ntiles, nblocks, C, B2) mag-sign groups
+    -> (ntiles, H, W, C) images, 4-aligned tiles, fresh band state per tile.
+
+    One cumsum over a (ntiles, C, nblocks*B2) layout un-deltas every tile at
+    once — vmapping `reconstruct` instead serializes on TPU (the batched
+    gathers lower poorly); this is pure reshapes around the same math.
+    """
+    assert h % B == 0 and w % B == 0, "batch reconstruct requires aligned tiles"
+    tbits = np.iinfo(out_dtype).bits
+    lanes = jnp.iinfo(groups.dtype).bits
+    ntiles, nblocks = groups.shape[0], groups.shape[1]
+    seq = smag(groups).transpose(0, 2, 1, 3).reshape(ntiles, nbands, nblocks * B2)
+    if tbits < lanes:
+        seq = seq & jnp.array((1 << tbits) - 1, seq.dtype)
+    csum = jnp.cumsum(seq, axis=2)
+    vals = csum.reshape(ntiles, nbands, nblocks, B2).astype(out_dtype)
+
+    offs = curve_offsets(order)
+    lane_of = np.zeros((B, B), dtype=np.int32)
+    for i, (dy, dx) in enumerate(offs):
+        lane_of[dy, dx] = i
+    inv = lane_of.reshape(-1)
+    t = vals[:, :, :, inv].reshape(ntiles, nbands, h // B, w // B, B, B)
+    img = t.transpose(0, 2, 4, 3, 5, 1).reshape(ntiles, h, w, nbands)
+    cb = np.asarray(cband, dtype=np.int32)
+    add = cb != np.arange(nbands)
+    core = img[:, :, :, cb]
+    return img + core * jnp.asarray(add.astype(out_dtype))[None, None, None, :]
 
 
 def reconstruct(groups, entry_prev, h: int, w: int, nbands: int, order: int,
