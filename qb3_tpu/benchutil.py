@@ -41,14 +41,18 @@ def _probe_fn():
 
 
 def sync(tree) -> None:
-    """Hard barrier: device-side scalar reduction of ``tree``, tiny fetch."""
+    """Hard barrier: device-side scalar reduction of ``tree``, tiny fetch.
+
+    Only jax.Array leaves participate: host results (bytes, numpy arrays)
+    are complete by construction, and feeding them to the probe would time
+    an H2D transfer instead."""
     import jax
 
     leaves = [x for x in jax.tree_util.tree_leaves(tree)
-              if hasattr(x, "dtype")]
+              if isinstance(x, jax.Array)]
     if not leaves:
         return
-    np.asarray(_probe_fn()(tree))
+    np.asarray(_probe_fn()(leaves))
 
 
 def sustained(fn, iters: int = 30) -> float:

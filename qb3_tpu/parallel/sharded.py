@@ -133,6 +133,60 @@ def _sharded_kernel(shape, npdtype, order, cband, best, skipstep, n_words, n_dev
     return jax.jit(run), mesh
 
 
+@functools.lru_cache(maxsize=16)
+def _sharded_scatter_kernel(shape, npdtype, order, cband, skipstep, n_words,
+                            n_dev):
+    """Pod-shape encode: the stitch runs inside shard_map via
+    scatter_stitch_shard (one boundary u64 per link instead of the
+    O(stream)-per-link implicit all-gather of stitch_words_device)."""
+    if len(jax.devices()) < n_dev:
+        raise RuntimeError(f"need {n_dev} devices")
+    from ..stitch import scatter_stitch_shard
+
+    mesh = Mesh(np.array(jax.devices()[:n_dev]), ("tiles",))
+    ubits = ubits_for(np.dtype(npdtype).itemsize)
+    maxbits = group_bits_bound(np.dtype(npdtype).itemsize * 8, best=False)
+    base = _shard_encode_fn(order, cband, skipstep, ubits, n_words, "tiles",
+                            maxbits)
+
+    def fn(img_local):
+        words, total, glen, rung = base(img_local)
+        own, n_own, nbits = scatter_stitch_shard(words[0], total[0], "tiles")
+        return own[None], n_own[None], nbits[None], glen, rung
+
+    mapped = jax.shard_map(fn, mesh=mesh, in_specs=P("tiles"),
+                           out_specs=(P("tiles"),) * 5)
+    return jax.jit(mapped), mesh
+
+
+def encode_fast_sharded_scatter(img: np.ndarray, n_dev: int,
+                                order: int = HILBERT,
+                                cband: tuple[int, ...] | None = None,
+                                skipstep: bool = True):
+    """encode_fast_sharded with the reduce-scatter-style stitch: every
+    device keeps only its own word span of the final stream; the host
+    concatenates at word granularity.  Per-ICI-link stitch traffic is
+    8 bytes (one boundary word) + the 8-byte totals all-gather, vs
+    O(stream bytes) for the all-gather stitch (doc/SCALING.md item 1).
+    Byte-exact with the single-device stream."""
+    from ..api import DT_FROM_NP, max_encoded_size
+    from ..stitch import assemble_scatter
+
+    h, w, nb = img.shape
+    if h % (B * n_dev) != 0:
+        raise QB3ShapeError("height must split into whole block rows per device")
+    if cband is None:
+        cband = tuple(range(nb))
+    n_words = (max_encoded_size(w, h // n_dev, nb, DT_FROM_NP[img.dtype]) + 3) // 4 + 2
+    kern, mesh = _sharded_scatter_kernel((h, w, nb), img.dtype.name, order,
+                                         tuple(cband), skipstep, n_words, n_dev)
+    arr = jax.device_put(jnp.asarray(img), NamedSharding(mesh, P("tiles")))
+    own, n_own, nbits, glen, _ = kern(arr)
+    payload = assemble_scatter(np.asarray(own), np.asarray(n_own),
+                               np.asarray(nbits))
+    return payload, np.asarray(nbits)
+
+
 def encode_fast_sharded(img: np.ndarray, n_dev: int, order: int = HILBERT,
                         cband: tuple[int, ...] | None = None,
                         skipstep: bool = True):
@@ -287,13 +341,32 @@ def encode_tiles_sharded(tiles: np.ndarray, n_batch: int, n_rows: int,
             for i in range(n)]
 
 
+def _finish_shard(g, nblocks_l, nbands, h_l, w, order, cband, tbits, axis):
+    """Shared decode tail: cross-shard prev chain (all-gathered per-shard
+    value totals, mod 2^bits) + per-shard reconstruct."""
+    from ..ops.bitutils import smag
+    from ..ops.decode import reconstruct
+
+    my = jax.lax.axis_index(axis)
+    g = g.reshape(nblocks_l, nbands, 16)
+    dsum_v = jnp.sum(smag(g).transpose(1, 0, 2).reshape(nbands, -1), axis=1)
+    all_v = jax.lax.all_gather(dsum_v, axis)
+    n_dev = all_v.shape[0]
+    entry_prev = jnp.sum(
+        jnp.where(jnp.arange(n_dev)[:, None] < my, all_v, 0), axis=0)
+    img, _ = reconstruct(g, entry_prev, h_l, w, nbands, order, cband,
+                         np.dtype(f"uint{tbits}"))
+    return img
+
+
 def _shard_decode_fn(order, cband, apply_step, ubits, tbits, nblocks_l, nbands,
                      h_l, w, axis):
-    from ..ops.decode import decode_groups_regwindow, decode_groups, reconstruct
-    from ..ops.decode import indexed_meta
-    from ..ops.bitutils import smag
+    """ix-sidecar shard decode over a LOCAL payload window (win64): each
+    shard holds only the word range covering its own groups, not the whole
+    replicated stream; winbase holds the window's absolute bit offset."""
+    from ..ops.decode import decode_groups_regwindow, decode_groups
 
-    def fn(words64, glens_l):
+    def fn(win64, glens_l, winbase):
         # glens_l: this shard's per-group bit lengths; global offsets need the
         # bit total of preceding shards — an all-gather + masked sum
         my = jax.lax.axis_index(axis)
@@ -301,13 +374,14 @@ def _shard_decode_fn(order, cband, apply_step, ubits, tbits, nblocks_l, nbands,
         all_bits = jax.lax.all_gather(local_bits, axis)
         n_dev = all_bits.shape[0]
         entry_bits = jnp.sum(jnp.where(jnp.arange(n_dev) < my, all_bits, 0))
+        rel0 = entry_bits - winbase[0]  # window-relative shard start
 
         nmask = (1 << ubits) - 1
-        ends = jnp.cumsum(glens_l.astype(jnp.int64)) + entry_bits
+        ends = jnp.cumsum(glens_l.astype(jnp.int64)) + rel0
         goff = (ends - glens_l).reshape(nblocks_l, nbands)
         from ..ops.decode import _DSW_DELTA, _DSW_LEN
         from ..ops.bitutils import peek64
-        wv = peek64(words64, goff)
+        wv = peek64(win64, goff)
         has_cs = (wv & 1) == 1
         idx = ((wv >> 1) & ((1 << (ubits + 1)) - 1)).astype(jnp.int32)
         cs_len = jnp.where(has_cs, _DSW_LEN[ubits, idx], 1)
@@ -319,34 +393,60 @@ def _shard_decode_fn(order, cband, apply_step, ubits, tbits, nblocks_l, nbands,
         rung = (jnp.cumsum(delta, axis=0) + entry_rung[None, :]) & nmask
         rung0 = rung == 0
         from ..offsets import KIND_BITS, KIND_NORMAL, KIND_ZERO
-        flag = (peek64(words64, goff + cs_len.astype(jnp.int64)) & 1).astype(jnp.int32)
+        flag = (peek64(win64, goff + cs_len.astype(jnp.int64)) & 1).astype(jnp.int32)
         kind = jnp.where(rung0, jnp.where(flag == 1, KIND_BITS, KIND_ZERO), KIND_NORMAL)
         val_pos = goff + cs_len.astype(jnp.int64) + jnp.where(rung0, 1, 0)
         cf = jnp.zeros_like(wv)
 
         if tbits <= 16:
-            g, _ = decode_groups_regwindow(words64, kind.reshape(-1).astype(jnp.uint8),
+            g, _ = decode_groups_regwindow(win64, kind.reshape(-1).astype(jnp.uint8),
                                            val_pos.reshape(-1), rung.reshape(-1),
                                            cf.reshape(-1), apply_step, tbits)
         else:
-            g, _ = decode_groups(words64, kind.reshape(-1).astype(jnp.uint8),
+            g, _ = decode_groups(win64, kind.reshape(-1).astype(jnp.uint8),
                                  val_pos.reshape(-1), rung.reshape(-1),
                                  cf.reshape(-1), apply_step, has_extended=False)
-        g = g.reshape(nblocks_l, nbands, 16)
-        # prev chain: local delta totals exchanged the same way (mod 2^bits)
-        dsum_v = jnp.sum(smag(g).transpose(1, 0, 2).reshape(nbands, -1), axis=1)
-        all_v = jax.lax.all_gather(dsum_v, axis)
-        entry_prev = jnp.sum(jnp.where(jnp.arange(n_dev)[:, None] < my, all_v, 0), axis=0)
-        img, _ = reconstruct(g, entry_prev, h_l, w, nbands, order, cband,
-                             np.dtype(f"uint{tbits}"))
-        return img
+        return _finish_shard(g, nblocks_l, nbands, h_l, w, order, cband,
+                             tbits, axis)
+
+    return fn
+
+
+def _shard_decode_best_fn(order, cband, tbits, nblocks_l, nbands, h_l, w, axis):
+    """ib-sidecar shard decode: kind/val_pos/vrung/cf come pre-sharded from
+    the host (val_pos already window-relative), covering CF/index groups."""
+    from ..ops.decode import decode_groups, decode_groups_fused
+
+    def fn(win64, kind, val_pos, vrung, cf):
+        if tbits <= 16:
+            g = decode_groups_fused(win64, kind, val_pos, vrung, cf, True,
+                                    tbits, jax.default_backend() == "tpu")
+        else:
+            g, _ = decode_groups(win64, kind, val_pos, vrung, cf, True)
+        return _finish_shard(g, nblocks_l, nbands, h_l, w, order, cband,
+                             tbits, axis)
+
+    return fn
+
+
+def _shard_decode_chunked_fn(order, cband, apply_step, tbits, k_blocks,
+                             nblocks_l, nbands, h_l, w, axis):
+    """ic-sidecar shard decode: each shard walks its own chunks (starts
+    already window-relative) with the chunk-parallel wavefront."""
+    from ..ops.decode_chunked import decode_chunked
+
+    def fn(win64, starts_l, entry_l):
+        g = decode_chunked(win64, starts_l, entry_l, k_blocks, nblocks_l,
+                           nbands, apply_step, tbits)
+        return _finish_shard(g, nblocks_l, nbands, h_l, w, order, cband,
+                             tbits, axis)
 
     return fn
 
 
 @functools.lru_cache(maxsize=16)
-def _sharded_decode_kernel(npdtype, order, cband, apply_step, n_words, n_dev,
-                           h, w, nbands):
+def _sharded_decode_kernel(npdtype, order, cband, apply_step, ws64, n_dev,
+                           h, w, nbands, sidecar, k_blocks=0):
     if len(jax.devices()) < n_dev:
         raise RuntimeError(f"need {n_dev} devices")
     from ..constants import ubits_for
@@ -354,41 +454,135 @@ def _sharded_decode_kernel(npdtype, order, cband, apply_step, n_words, n_dev,
     tsize = np.dtype(npdtype).itemsize
     h_l = h // n_dev
     nblocks_l = (h_l // B) * (w // B)
-    fn = _shard_decode_fn(order, cband, apply_step, ubits_for(tsize), tsize * 8,
-                          nblocks_l, nbands, h_l, w, "tiles")
-    mapped = jax.shard_map(fn, mesh=mesh, in_specs=(P(), P("tiles")),
+    tbits = tsize * 8
+    if sidecar == "ib":
+        fn = _shard_decode_best_fn(order, cband, tbits, nblocks_l, nbands,
+                                   h_l, w, "tiles")
+        in_specs = (P("tiles"),) * 5
+    elif sidecar == "ic":
+        fn = _shard_decode_chunked_fn(order, cband, apply_step, tbits,
+                                      k_blocks, nblocks_l, nbands, h_l, w,
+                                      "tiles")
+        in_specs = (P("tiles"),) * 3
+    else:
+        fn = _shard_decode_fn(order, cband, apply_step, ubits_for(tsize),
+                              tbits, nblocks_l, nbands, h_l, w, "tiles")
+        in_specs = (P("tiles"),) * 3
+
+    def squeeze_fn(*args):
+        return fn(*(a[0] for a in args))
+
+    mapped = jax.shard_map(squeeze_fn, mesh=mesh, in_specs=in_specs,
                            out_specs=P("tiles"))
     return jax.jit(mapped), mesh
 
 
+def _shard_windows(words: np.ndarray, start_bits: np.ndarray,
+                   end_bits: np.ndarray, slack64: int):
+    """Per-shard payload windows: (n_dev, WS) u64 + absolute bit bases."""
+    n_dev = len(start_bits)
+    base_w = (start_bits >> 6).astype(np.int64)
+    end_w = (end_bits >> 6).astype(np.int64) + slack64
+    WS = int((end_w - base_w).max()) + 2
+    win = np.zeros((n_dev, WS), np.uint64)
+    for s in range(n_dev):
+        src = words[base_w[s]: min(base_w[s] + WS, len(words))]
+        win[s, : len(src)] = src
+    return win, base_w * 64
+
+
 def decode_fast_sharded(stream: bytes, n_dev: int) -> np.ndarray:
-    """Decode an indexed FTL/BASE stream with the image sharded over n_dev
-    devices (block-row strips); offsets/rung/prev chains cross shard
-    boundaries via all-gathered per-shard totals."""
+    """Decode a sidecar-indexed stream with the image sharded over n_dev
+    devices (block-row strips).  Supports all three sidecars: "ix"
+    (FTL/BASE per-group lengths), "ib" (best-mode metadata), "ic"
+    (chunk anchors).  Each device receives only the payload word window
+    covering its own strip (plus register slack) — the stream is never
+    replicated — and the rung/prev chains cross shard boundaries via
+    all-gathered per-shard totals."""
     from .. import container
-    from ..api import NP_FROM_DT, UNSIGNED
-    from ..constants import DType, Mode
-    from ..ops.decode import payload_words
+    from ..api import NP_FROM_DT, UNSIGNED, _parse_best_sidecar
+    from ..constants import DType, Mode, is_best_mode
+    from ..ops.decode import _NREG_IX, payload_words
+    from ..ops.decode_chunked import parse_ic
 
     info = container.parse_headers(stream)
-    if info.index is None or info.mode not in (Mode.FTL, Mode.BASE_H, Mode.BASE_Z):
-        raise QB3ShapeError("sharded decode needs an ix-indexed FTL/BASE stream")
     h, w, nb = info.ysize, info.xsize, info.nbands
     if h % (B * n_dev) != 0 or w % B != 0:
         raise QB3ShapeError("image shape must split into whole block rows per device")
     np_dt = NP_FROM_DT[DType(info.dtype)]
     uns_dt = UNSIGNED[np.dtype(np_dt).itemsize]
-    glens = np.frombuffer(info.index, dtype="<u2").astype(np.int32)
+    tbits = np.dtype(uns_dt).itemsize * 8
     words = payload_words(stream[info.data_offset:])
-    n_words = 1 << max(4, int(np.ceil(np.log2(len(words) + 1))))
-    wpad = np.zeros(n_words, np.uint64)
-    wpad[: len(words)] = words
+    nblocks = (h // B) * (w // B)
+    nblocks_l = nblocks // n_dev
+    gpd = nblocks_l * nb  # groups per device
+    order = info.order or HILBERT
+    slack = _NREG_IX[tbits] // 2 + 2
+
+    if info.index_best is not None and is_best_mode(Mode(info.mode)):
+        meta = _parse_best_sidecar(info.index_best, nblocks * nb)
+        if meta is None:
+            raise QB3ShapeError("oversized CF in ib sidecar")
+        kind, val_pos, vrung, cf = meta
+        start_bits = val_pos.reshape(n_dev, gpd)[:, 0] - 64  # cs bits precede
+        start_bits = np.maximum(start_bits, 0)
+        end_bits = np.concatenate([start_bits[1:],
+                                   [len(words) * 64 - slack * 64]])
+        win, winbase = _shard_windows(words, start_bits, end_bits, slack)
+        lpos = (val_pos.reshape(n_dev, gpd)
+                - (winbase[:, None])).astype(np.int64)
+        kern, mesh = _sharded_decode_kernel(
+            np.dtype(uns_dt).name, order, tuple(info.cband), True,
+            win.shape[1], n_dev, h, w, nb, "ib")
+        sh = NamedSharding(mesh, P("tiles"))
+        out = np.asarray(kern(
+            jax.device_put(jnp.asarray(win), sh),
+            jax.device_put(jnp.asarray(kind.reshape(n_dev, gpd)), sh),
+            jax.device_put(jnp.asarray(lpos), sh),
+            jax.device_put(jnp.asarray(vrung.reshape(n_dev, gpd)), sh),
+            jax.device_put(jnp.asarray(cf.reshape(n_dev, gpd)), sh)))
+        return out.view(np_dt)
+
+    if info.index_chunked is not None:
+        parsed = parse_ic(info.index_chunked, nblocks, nb)
+        if parsed is None:
+            raise QB3ShapeError("inconsistent ic sidecar")
+        k, starts, entry, _tot = parsed
+        nchunks = len(starts)
+        if nchunks % n_dev or (nchunks // n_dev) * k != nblocks_l:
+            raise QB3ShapeError(
+                "chunk grid must split evenly over devices for sharded ic")
+        ncl = nchunks // n_dev
+        s2 = starts.reshape(n_dev, ncl)
+        start_bits = s2[:, 0]
+        end_bits = np.concatenate([start_bits[1:], [len(words) * 64 - slack * 64]])
+        win, winbase = _shard_windows(words, start_bits, end_bits, slack)
+        lstarts = (s2 - winbase[:, None]).astype(np.int32)
+        kern, mesh = _sharded_decode_kernel(
+            np.dtype(uns_dt).name, order, tuple(info.cband),
+            info.mode != Mode.FTL, win.shape[1], n_dev, h, w, nb, "ic", k)
+        sh = NamedSharding(mesh, P("tiles"))
+        out = np.asarray(kern(
+            jax.device_put(jnp.asarray(win), sh),
+            jax.device_put(jnp.asarray(lstarts), sh),
+            jax.device_put(jnp.asarray(entry.reshape(n_dev, ncl, nb)), sh)))
+        return out.view(np_dt)
+
+    if info.index is None or info.mode not in (Mode.FTL, Mode.BASE_H, Mode.BASE_Z):
+        raise QB3ShapeError("sharded decode needs an ix/ib/ic-indexed stream")
+    glens = np.frombuffer(info.index, dtype="<u2").astype(np.int32)
+    bits = np.cumsum(glens.astype(np.int64))
+    start_bits = np.concatenate([[0], bits[gpd - 1::gpd][:-1]])
+    end_bits = bits[gpd - 1::gpd]
+    win, winbase = _shard_windows(words, start_bits, end_bits, slack)
     kern, mesh = _sharded_decode_kernel(
-        np.dtype(uns_dt).name, info.order or HILBERT, tuple(info.cband),
-        info.mode != Mode.FTL, n_words, n_dev, h, w, nb)
-    gl = jax.device_put(jnp.asarray(glens), NamedSharding(mesh, P("tiles")))
-    wd = jax.device_put(jnp.asarray(wpad), NamedSharding(mesh, P()))
-    out = np.asarray(kern(wd, gl))
+        np.dtype(uns_dt).name, order, tuple(info.cband),
+        info.mode != Mode.FTL, win.shape[1], n_dev, h, w, nb, "ix")
+    sh = NamedSharding(mesh, P("tiles"))
+    out = np.asarray(kern(
+        jax.device_put(jnp.asarray(win), sh),
+        jax.device_put(jnp.asarray(glens.reshape(n_dev, gpd)), sh),
+        jax.device_put(jnp.asarray(winbase.reshape(n_dev, 1)), sh)))
     return out.view(np_dt)
 
 

@@ -58,6 +58,75 @@ def stitch_bytes(parts) -> bytes:
     return words.view(np.uint8)[: (total + 7) // 8].tobytes()
 
 
+def scatter_stitch_shard(words32, nbits, axis):
+    """Pod-shape stitch, run INSIDE shard_map: each shard phase-shifts its
+    packed bits to the global bit offset and keeps its OWN word span; the
+    only inter-device data is the all-gather of per-shard bit totals (8 B
+    each) plus ONE boundary u64 ppermuted to the next shard.  Replaces the
+    post-shard_map stitch (stitch_words_device), whose implicit all-gather
+    moves O(stream bytes) per ICI link (doc/SCALING.md item 1).
+
+    words32: (NW32,) uint32 local packed stream (bits past nbits garbage);
+    nbits: local bit count (scalar).  Returns (own (NW64+1,) u64 words,
+    n_own, nbits) — the shard's owned slice of the final stream; the host
+    lays out slice s at word offset (sum of bits before s) >> 6
+    (host-side assemble_scatter)."""
+    import jax
+    import jax.numpy as jnp
+
+    nw32 = words32.shape[0]
+    nw64 = (nw32 + 1) // 2
+    w = jax.lax.bitcast_convert_type(
+        jnp.pad(words32, (0, nw32 % 2)).reshape(nw64, 2),
+        jnp.uint64).reshape(nw64)
+    nbits = nbits.astype(jnp.int64)
+    all_tot = jax.lax.all_gather(nbits, axis)
+    S = all_tot.shape[0]
+    my = jax.lax.axis_index(axis)
+    off = jnp.sum(jnp.where(jnp.arange(S) < my, all_tot, 0))
+    end = off + nbits
+    base = off >> 6
+    # non-last shards do not own their partial tail word (the next shard's
+    # region starts inside it); the last shard owns through the end
+    n_own = (jnp.where(my == S - 1, (end + 63) >> 6, end >> 6) - base
+             ).astype(jnp.int32)
+
+    nwords = (nbits + 63) >> 6
+    lane = jnp.arange(nw64, dtype=jnp.int64)
+    tail = (nbits & 63).astype(jnp.uint64)
+    tmask = jnp.where(tail == 0, ~jnp.uint64(0), (jnp.uint64(1) << tail) - 1)
+    w = jnp.where(lane < nwords - 1, w,
+                  jnp.where(lane == nwords - 1, w & tmask, jnp.uint64(0)))
+    sh = (off & 63).astype(jnp.uint64)
+    lo = jnp.where(sh == 0, w, w << sh)
+    prevw = jnp.concatenate([jnp.zeros(1, jnp.uint64), w[:-1]])
+    hi = jnp.where(sh == 0, jnp.uint64(0), prevw >> (jnp.uint64(64) - sh))
+    spill = jnp.where(sh == 0, jnp.uint64(0), w[-1] >> (jnp.uint64(64) - sh))
+    ext = jnp.concatenate([lo | hi, spill[None]])  # global words base..base+nw64
+
+    # boundary word (shared with the next shard's word 0): send forward
+    has_tail = (end & 63) != 0
+    bnd = jax.lax.dynamic_slice(ext, (n_own.astype(jnp.int64),), (1,))[0]
+    bnd = jnp.where(has_tail & (my != S - 1), bnd, jnp.uint64(0))
+    inc = jax.lax.ppermute(bnd, axis, [(i, i + 1) for i in range(S - 1)])
+    ext = ext.at[0].add(inc)  # disjoint bits: add == OR; shard 0 receives 0
+    return ext, n_own, nbits
+
+
+def assemble_scatter(owns: np.ndarray, n_owns: np.ndarray,
+                     totals: np.ndarray) -> bytes:
+    """Host assembly of scatter_stitch_shard outputs: word-aligned
+    concatenation (no bit work left)."""
+    total = int(totals.sum())
+    out = np.zeros(total // 64 + 2, np.uint64)
+    offs = np.cumsum(totals) - totals
+    for s in range(owns.shape[0]):
+        base = int(offs[s]) >> 6
+        n = int(n_owns[s])
+        out[base : base + n] = owns[s][:n]
+    return out.view(np.uint8)[: (total + 7) // 8].tobytes()
+
+
 def stitch_words_device(words, totals, n_out: int):
     """Device-side stitch: per-shard word buffers -> one bit-dense stream.
 

@@ -30,3 +30,44 @@ def test_sharded_decode_u64():
     s = qb3_tpu.encode(img, mode=Mode.FTL, index=True)
     out = decode_fast_sharded(s, 8)
     np.testing.assert_array_equal(out, img)
+
+
+@pytest.mark.parametrize("n_dev", [2, 8])
+def test_sharded_decode_ib_best(n_dev):
+    img = corpus.natural8(32 * n_dev, 32, 3, seed=320 + n_dev)
+    s = qb3_tpu.encode(img, mode=Mode.CF_H, index=True)
+    out = decode_fast_sharded(s, n_dev)
+    np.testing.assert_array_equal(out, img)
+
+
+def test_sharded_decode_ib_u64():
+    img = corpus.to_type(corpus.natural8(64, 32, 1, seed=321), np.uint64, 5)
+    s = qb3_tpu.encode(img, mode=Mode.CF_H, index=True)
+    out = decode_fast_sharded(s, 4)
+    np.testing.assert_array_equal(out, img)
+
+
+@pytest.mark.parametrize("n_dev", [2, 8])
+def test_sharded_decode_ic(n_dev):
+    # ic chunks (K=8 blocks) must split evenly: H/4/n_dev rows of W/4 blocks
+    img = corpus.natural8(16 * n_dev, 128, 3, seed=330 + n_dev)
+    s = qb3_tpu.encode(img, mode=Mode.FTL, index="ic")
+    out = decode_fast_sharded(s, n_dev)
+    np.testing.assert_array_equal(out, img)
+
+
+def test_sharded_decode_ic_u16_base():
+    img = corpus.to_type(corpus.natural8(32, 128, 2, seed=331), np.uint16, 257)
+    s = qb3_tpu.encode(img, mode=Mode.BASE_H, index="ic")
+    out = decode_fast_sharded(s, 2)
+    np.testing.assert_array_equal(out, img)
+
+
+def test_scatter_stitch_encode():
+    from qb3_tpu.parallel.sharded import (encode_fast_sharded,
+                                          encode_fast_sharded_scatter)
+
+    img = corpus.natural8(64, 48, 3, seed=340)
+    p1, _ = encode_fast_sharded(img, 8, cband=(1, 1, 1))
+    p2, _ = encode_fast_sharded_scatter(img, 8, cband=(1, 1, 1))
+    assert p1 == p2
