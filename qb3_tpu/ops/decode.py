@@ -65,6 +65,31 @@ _DSW_LEN = jnp.asarray(T.DSW[:, :, 0].astype(np.int32))
 _DSW_DELTA = jnp.asarray(T.DSW[:, :, 1].astype(np.int32))
 
 
+def dsw_arith(w1, ubits: int):
+    """Arithmetic codeswitch decode == the DSW table (tables.py _make_dsw),
+    without the table: XLA:TPU lowers even a 16-entry gather to ~10ns/elem
+    scalar loads (measured 102 ms for 6.3M lookups vs 2.6 ms in selects).
+
+    w1: the stream bits AFTER the change flag (w >> 1), any uint dtype.
+    Returns (cs_len incl flag, delta int32), valid where the flag was 1.
+    """
+    W = w1.dtype
+    r = ubits - 1  # plain VLC rung of the codeswitch code
+    rbit = jnp.array(1 << r, W)
+    short = (w1 & 1) == 0
+    n = (w1 >> 1) & 1
+    vmask = rbit - 1
+    v = jnp.where(short, (w1 & vmask) >> 1,
+        jnp.where(n == 0, ((w1 >> 2) & vmask) | (rbit >> 1),
+                  ((w1 >> 2) & vmask) | rbit))
+    ln = jnp.where(short, r, r + 1 + n.astype(jnp.int32)) + 1
+    mag = (v >> 1).astype(jnp.int32)
+    neg = (v & 1) == 1
+    delta = jnp.where(neg, (-(mag + 1)) & ((1 << ubits) - 1),
+                      (mag + 1) & ((1 << (ubits - 1)) - 1))
+    return ln, delta
+
+
 def indexed_meta(words64, glens, nblocks: int, nbands: int, ubits: int):
     """Recover per-group metadata from the "ix" sidecar, fully on device.
 
@@ -80,9 +105,9 @@ def indexed_meta(words64, glens, nblocks: int, nbands: int, ubits: int):
     goff = (ends - glens).reshape(nblocks, nbands)
     w = peek64(words64, goff)
     has_cs = (w & 1) == 1
-    idx = ((w >> 1) & ((1 << (ubits + 1)) - 1)).astype(jnp.int32)
-    cs_len = jnp.where(has_cs, _DSW_LEN[ubits, idx], 1)
-    delta = jnp.where(has_cs, _DSW_DELTA[ubits, idx], 0)
+    dlen, ddelta = dsw_arith(w >> 1, ubits)
+    cs_len = jnp.where(has_cs, dlen, 1)
+    delta = jnp.where(has_cs, ddelta, 0)
     rung = jnp.cumsum(delta, axis=0) & nmask  # entry runbits are zero
     rung0 = rung == 0
     # the all-zero flag sits at cs_len <= 8 bits in, within the same window
@@ -182,9 +207,9 @@ def decode_indexed_narrow(words64, glens, nblocks: int, nbands: int,
     # codeswitch parse + rung chain (modular prefix sum per band)
     w0 = window(off0)
     has_cs = (w0 & 1) == 1
-    idx = ((w0 >> 1) & w0.dtype.type(((1 << (ubits + 1)) - 1))).astype(jnp.int32)
-    cs_len = jnp.where(has_cs, _DSW_LEN[ubits, idx], 1)
-    delta = jnp.where(has_cs, _DSW_DELTA[ubits, idx], 0)
+    dlen, ddelta = dsw_arith(w0 >> 1, ubits)
+    cs_len = jnp.where(has_cs, dlen, 1)
+    delta = jnp.where(has_cs, ddelta, 0)
     rung = (jnp.cumsum(delta.reshape(ntiles, nblocks, nbands), axis=1)
             & nmask).reshape(-1)
     rung0 = rung == 0
@@ -196,6 +221,34 @@ def decode_indexed_narrow(words64, glens, nblocks: int, nbands: int,
 
     per = {8: 3, 16: 3, 32: 1, 64: 1}[tbits]
     takes = np.minimum(per, B2 - np.arange(0, B2, per))
+
+    import os as _os
+    if tbits == 8 and use_pallas and _os.environ.get("QB3_WAVE") != "xla":
+        # fused Pallas walk: windows + accumulator stay in VMEM for all 16
+        # steps (wavefront_pallas.py) instead of round-tripping HBM per op
+        from .wavefront_pallas import wavefront8
+
+        kind = jnp.where(is_group, 1, jnp.where(is_bits, 2, 0))
+        G_BLK = 1024
+        padw = (-ngroups) % G_BLK
+        if padw:
+            zpad = jnp.zeros(padw, jnp.int32)
+            regs_arr = jnp.concatenate(
+                [regs_arr, jnp.zeros((padw, NREG), regs_arr.dtype)])
+            off = jnp.concatenate([off, zpad])
+            rung_p = jnp.concatenate([rung, zpad])
+            kind = jnp.concatenate([kind, zpad])
+        else:
+            rung_p = rung
+        g = wavefront8(regs_arr, off, rung_p, kind, NREG, G_BLK)[:ngroups]
+        g = g.astype(W)
+        if apply_step:
+            match, ones = step_flip_index(g, rung)
+            lane = jnp.arange(B2, dtype=jnp.int32)
+            do = is_group & match & (rung >= 1)
+            flip = do[:, None] & (lane[None, :] == ones[:, None]) & (ones[:, None] < B2)
+            g = g ^ (jnp.where(flip, 1, 0).astype(W) << rung[:, None].astype(W))
+        return g
 
     if tbits == 8:
         # vectorized bit reader: a u64 accumulator per group, refilled with

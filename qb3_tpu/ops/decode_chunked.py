@@ -19,7 +19,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..constants import B2
-from .decode import _DSW_DELTA, _DSW_LEN, _vlc_decode_arith
+from .decode import _vlc_decode_arith, dsw_arith
 from .bitutils import step_flip_index
 
 # static register-window sizes per element width: cover one group's worst
@@ -138,9 +138,9 @@ def decode_chunked(words64, starts, entry_rungs, k_blocks: int, nblocks: int,
         # ---- codeswitch parse (QB3decode.h:613-618)
         w0 = window(phase)
         has_cs = (w0 & 1) == 1
-        idx = ((w0 >> 1) & jnp.uint64(lmask)).astype(jnp.int32)
-        cs_len = jnp.where(has_cs, _DSW_LEN[ubits, idx], 1)
-        delta = jnp.where(has_cs, _DSW_DELTA[ubits, idx], 0)
+        dlen, ddelta = dsw_arith(w0 >> 1, ubits)
+        cs_len = jnp.where(has_cs, dlen, 1)
+        delta = jnp.where(has_cs, ddelta, 0)
         rung = (rung_band + delta) & nmask
         rung0 = rung == 0
         flag = ((w0 >> cs_len.astype(jnp.uint64)) & 1).astype(jnp.int32)

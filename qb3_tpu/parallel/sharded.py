@@ -379,13 +379,13 @@ def _shard_decode_fn(order, cband, apply_step, ubits, tbits, nblocks_l, nbands,
         nmask = (1 << ubits) - 1
         ends = jnp.cumsum(glens_l.astype(jnp.int64)) + rel0
         goff = (ends - glens_l).reshape(nblocks_l, nbands)
-        from ..ops.decode import _DSW_DELTA, _DSW_LEN
+        from ..ops.decode import dsw_arith
         from ..ops.bitutils import peek64
         wv = peek64(win64, goff)
         has_cs = (wv & 1) == 1
-        idx = ((wv >> 1) & ((1 << (ubits + 1)) - 1)).astype(jnp.int32)
-        cs_len = jnp.where(has_cs, _DSW_LEN[ubits, idx], 1)
-        delta = jnp.where(has_cs, _DSW_DELTA[ubits, idx], 0)
+        dlen, ddelta = dsw_arith(wv >> 1, ubits)
+        cs_len = jnp.where(has_cs, dlen, 1)
+        delta = jnp.where(has_cs, ddelta, 0)
         # rung chain: local prefix sum + all-gathered per-shard delta totals
         dsum = jnp.sum(delta, axis=0)
         all_dsum = jax.lax.all_gather(dsum, axis)  # (n_dev, C)
