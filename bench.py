@@ -56,8 +56,9 @@ def mode_matrix():
     from qb3_tpu import container
     from qb3_tpu.api import (_best_kernel, _decode_kernel, _decode_kernel_chunked,
                              _decode_kernel_indexed, _fast_kernel,
-                             _indexed_window_R, _parse_best_sidecar,
-                             _window_R_from_pos, max_encoded_size)
+                             _ic_static_params, _indexed_window_R,
+                             _parse_best_sidecar, _window_R_from_pos,
+                             max_encoded_size)
     from qb3_tpu.constants import HILBERT, Mode
     from qb3_tpu.ops.decode import payload_words
     from qb3_tpu.ops.decode_chunked import parse_ic
@@ -132,9 +133,10 @@ def mode_matrix():
                      jnp.asarray(vrung), jnp.asarray(cf), zp)
         elif info.index_chunked is not None:
             k, starts, entry, _tot = parse_ic(info.index_chunked, nblocks, nb)
+            maxw, Ric = _ic_static_params(starts, _tot, npdt)
             dk = _decode_kernel_chunked(nblocks, nb, h, w, order,
                                         tuple(info.cband), mode != Mode.FTL,
-                                        np.dtype(npdt).name, nw, k)
+                                        np.dtype(npdt).name, nw, k, maxw, Ric)
             dargs = (dw, jnp.asarray(starts.astype(np.int32)),
                      jnp.asarray(entry), zp)
         else:

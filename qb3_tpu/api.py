@@ -460,18 +460,31 @@ def _decode_kernel_indexed(nblocks, nbands, h, w, order, cband, apply_step, npdt
     return jax.jit(run)
 
 
+def _ic_static_params(starts: np.ndarray, total: int, uns_dt):
+    """Static (maxw, R) for the fused Pallas chunk walk, or (None, None)
+    when the XLA walk applies (non-u8, or no TPU backend)."""
+    if np.dtype(uns_dt).itemsize != 1 or jax.default_backend() != "tpu":
+        return None, None
+    from .ops.chunkwalk_pallas import ic_maxw, ic_window_R
+
+    spans = np.diff(np.append(starts, total))
+    maxw = ic_maxw(spans)
+    return maxw, ic_window_R(starts, maxw)
+
+
 @functools.lru_cache(maxsize=64)
 def _decode_kernel_chunked(nblocks, nbands, h, w, order, cband, apply_step,
-                           npdtype, n_words, k_blocks):
+                           npdtype, n_words, k_blocks, maxw=None, R=None):
     from .ops.decode import reconstruct
-    from .ops.decode_chunked import decode_chunked
+    from .ops.decode_chunked import decode_chunked_auto
 
     out_dtype = np.dtype(npdtype)
     tbits = out_dtype.itemsize * 8
 
     def run(words64, starts, entry_rungs, entry_prev):
-        g = decode_chunked(words64, starts, entry_rungs, k_blocks, nblocks,
-                           nbands, apply_step, tbits)
+        g = decode_chunked_auto(words64, starts, entry_rungs, k_blocks,
+                                nblocks, nbands, apply_step, tbits,
+                                maxw, R, use_pallas=maxw is not None)
         g = g.reshape(nblocks, nbands, B2)
         img, exit_prev = reconstruct(g, entry_prev, h, w, nbands, order,
                                      cband, out_dtype)
@@ -609,9 +622,11 @@ class Decoder:
             meta = parse_ic(info.index_chunked, nblocks, nb)
             if meta is not None:
                 k, starts, entry, total = meta
+                maxw, R = _ic_static_params(starts, total, uns_dt)
                 kern = _decode_kernel_chunked(
                     nblocks, nb, h, w, order, tuple(info.cband),
-                    info.mode != Mode.FTL, np.dtype(uns_dt).name, n_words, k)
+                    info.mode != Mode.FTL, np.dtype(uns_dt).name, n_words, k,
+                    maxw, R)
                 img, _ = kern(jnp.asarray(wpad),
                               jnp.asarray(starts.astype(np.int32)),
                               jnp.asarray(entry),

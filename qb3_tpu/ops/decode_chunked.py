@@ -14,6 +14,8 @@ FTL/BASE streams only (no extended encodings), any dtype.
 
 from __future__ import annotations
 
+import os
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -21,6 +23,10 @@ import numpy as np
 from ..constants import B2
 from .decode import _vlc_decode_arith, dsw_arith
 from .bitutils import step_flip_index
+
+# read once at import: toggling after first compile cannot retarget cached
+# jitted kernels, so a live env read inside traces would silently disagree
+_WAVE_ENV = os.environ.get("QB3_WAVE", "")
 
 # static register-window sizes per element width: cover one group's worst
 # span (prefix + 16 codes [+ overflow bits]) from any 32-bit phase
@@ -87,6 +93,27 @@ def chunk_spans(glens: np.ndarray, rungs: np.ndarray, entry_runbits: np.ndarray,
     entry[0] = entry_runbits
     entry[1:] = rungs[k_blocks - 1 : (nchunks - 1) * k_blocks : k_blocks]
     return spans, entry
+
+
+def decode_chunked_auto(words64, starts, entry_rungs, k_blocks: int,
+                        nblocks: int, nbands: int, apply_step: bool,
+                        tbits: int, maxw: int | None = None,
+                        R: int | None = None, use_pallas: bool = False,
+                        interpret: bool = False):
+    """Dispatch the chunk walk: fused Pallas VMEM kernel for u8 on TPU
+    (chunkwalk_pallas.py), else the XLA select-chain walk below.  The choice
+    is an explicit cache-key parameter (not a live env read)."""
+    if (use_pallas and tbits == 8 and maxw is not None
+            and _WAVE_ENV != "xla"):
+        from .chunkwalk_pallas import chunkwalk8
+
+        nchunks = starts.shape[0]
+        g = chunkwalk8(words64, starts, entry_rungs, maxw, k_blocks, nbands,
+                       apply_step, R=R, interpret=interpret)
+        return g.reshape(nchunks * k_blocks, nbands, B2)[:nblocks].reshape(
+            nblocks * nbands, B2)
+    return decode_chunked(words64, starts, entry_rungs, k_blocks, nblocks,
+                          nbands, apply_step, tbits)
 
 
 def decode_chunked(words64, starts, entry_rungs, k_blocks: int, nblocks: int,

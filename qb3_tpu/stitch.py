@@ -62,15 +62,16 @@ def scatter_stitch_shard(words32, nbits, axis):
     """Pod-shape stitch, run INSIDE shard_map: each shard phase-shifts its
     packed bits to the global bit offset and keeps its OWN word span; the
     only inter-device data is the all-gather of per-shard bit totals (8 B
-    each) plus ONE boundary u64 ppermuted to the next shard.  Replaces the
-    post-shard_map stitch (stitch_words_device), whose implicit all-gather
-    moves O(stream bytes) per ICI link (doc/SCALING.md item 1).
+    each).  Replaces the post-shard_map stitch (stitch_words_device), whose
+    implicit all-gather moves O(stream bytes) per ICI link
+    (doc/SCALING.md item 1).
 
     words32: (NW32,) uint32 local packed stream (bits past nbits garbage);
     nbits: local bit count (scalar).  Returns (own (NW64+1,) u64 words,
-    n_own, nbits) — the shard's owned slice of the final stream; the host
-    lays out slice s at word offset (sum of bits before s) >> 6
-    (host-side assemble_scatter)."""
+    n_own, nbits) — global words base..base+n_own, where own[n_own] is the
+    partial boundary word shared with the NEXT shard's word 0 (host-side
+    assemble_scatter ORs the overlap; doing it on device would need a
+    serial carry chain that breaks when a shard owns zero words)."""
     import jax
     import jax.numpy as jnp
 
@@ -103,27 +104,23 @@ def scatter_stitch_shard(words32, nbits, axis):
     hi = jnp.where(sh == 0, jnp.uint64(0), prevw >> (jnp.uint64(64) - sh))
     spill = jnp.where(sh == 0, jnp.uint64(0), w[-1] >> (jnp.uint64(64) - sh))
     ext = jnp.concatenate([lo | hi, spill[None]])  # global words base..base+nw64
-
-    # boundary word (shared with the next shard's word 0): send forward
-    has_tail = (end & 63) != 0
-    bnd = jax.lax.dynamic_slice(ext, (n_own.astype(jnp.int64),), (1,))[0]
-    bnd = jnp.where(has_tail & (my != S - 1), bnd, jnp.uint64(0))
-    inc = jax.lax.ppermute(bnd, axis, [(i, i + 1) for i in range(S - 1)])
-    ext = ext.at[0].add(inc)  # disjoint bits: add == OR; shard 0 receives 0
     return ext, n_own, nbits
 
 
 def assemble_scatter(owns: np.ndarray, n_owns: np.ndarray,
                      totals: np.ndarray) -> bytes:
     """Host assembly of scatter_stitch_shard outputs: word-aligned
-    concatenation (no bit work left)."""
+    concatenation; consecutive shards share one boundary word, whose
+    disjoint-bit halves combine with an OR (so shards owning zero whole
+    words — tiny/highly-compressible strips — just OR their bits into the
+    shared word instead of corrupting the chain)."""
     total = int(totals.sum())
     out = np.zeros(total // 64 + 2, np.uint64)
     offs = np.cumsum(totals) - totals
     for s in range(owns.shape[0]):
         base = int(offs[s]) >> 6
         n = int(n_owns[s])
-        out[base : base + n] = owns[s][:n]
+        out[base : base + n + 1] |= owns[s][: n + 1]
     return out.view(np.uint8)[: (total + 7) // 8].tobytes()
 
 

@@ -101,3 +101,48 @@ def test_overhead_under_2pct():
 def test_signed():
     img = (corpus.natural8(48, 48, 1, seed=87).astype(np.int16) - 100).astype(np.int16)
     roundtrip_ic(img, Mode.FTL)
+
+
+# ---------------------------------------------------------------- Pallas walk
+
+def _pallas_walk_case(img, mode, k=8):
+    """Fused Pallas chunk walk (interpret mode) must match the XLA walk
+    bit-for-bit (chunkwalk_pallas.py vs decode_chunked.py)."""
+    import jax.numpy as jnp
+
+    from qb3_tpu.ops.chunkwalk_pallas import chunkwalk8, ic_maxw, ic_window_R
+    from qb3_tpu.ops.decode_chunked import decode_chunked, parse_ic
+    from qb3_tpu.ops.decode import payload_words
+
+    h, w = img.shape[:2]
+    nb = img.shape[2] if img.ndim == 3 else 1
+    stream = qb3_tpu.encode(img, mode=mode, index="ic")
+    info = container.parse_headers(stream)
+    nblocks = ((h + 3) // 4) * ((w + 3) // 4)
+    kk, starts, entry, total = parse_ic(info.index_chunked, nblocks, nb)
+    words = jnp.asarray(payload_words(stream[info.data_offset:]))
+    spans = np.diff(np.append(starts, total))
+    maxw = ic_maxw(spans)
+    sj = jnp.asarray(starts.astype(np.int32))
+    ej = jnp.asarray(entry)
+    ref = np.asarray(decode_chunked(words, sj, ej, kk, nblocks, nb,
+                                    mode != Mode.FTL, 8))
+    got = np.asarray(chunkwalk8(words, sj, ej, maxw, kk, nb,
+                                mode != Mode.FTL, G_BLK=128, interpret=True,
+                                R=ic_window_R(starts, maxw)))
+    got = got.reshape(-1, nb, 16)[:nblocks].reshape(nblocks * nb, 16)
+    np.testing.assert_array_equal(got, ref)
+
+
+@pytest.mark.parametrize("mode", [Mode.FTL, Mode.BASE_H, Mode.BASE_Z])
+def test_pallas_walk_modes(mode):
+    _pallas_walk_case(corpus.natural8(64, 48, 3, seed=90), mode)
+
+
+def test_pallas_walk_high_rungs():
+    # 0<->255 spikes plant rung-7 groups (9-bit codes, the widest u8 form)
+    # without tripping the stored fallback on fully random data
+    img = corpus.natural8(48, 64, 1, seed=91)
+    img[::8, ::8] = 255
+    img[4::8, 2::8] = 0
+    _pallas_walk_case(img, Mode.FTL)

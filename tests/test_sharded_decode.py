@@ -71,3 +71,19 @@ def test_scatter_stitch_encode():
     p1, _ = encode_fast_sharded(img, 8, cband=(1, 1, 1))
     p2, _ = encode_fast_sharded_scatter(img, 8, cband=(1, 1, 1))
     assert p1 == p2
+
+
+def test_scatter_stitch_zero_own_shards():
+    """Shards owning zero whole output words (tiny, highly compressible
+    strips) must still contribute their bits: the shared boundary word is
+    OR-combined host-side (stitch.py assemble_scatter), not chained through
+    a one-hop ppermute that drops multi-shard overlaps."""
+    from qb3_tpu.parallel.sharded import (encode_fast_sharded,
+                                          encode_fast_sharded_scatter)
+
+    rng = np.random.default_rng(341)
+    for trial in range(6):
+        img = (rng.integers(0, 2, (32, 4, 1)) * 255).astype(np.uint8)
+        p1, _ = encode_fast_sharded(img, 8)
+        p2, _ = encode_fast_sharded_scatter(img, 8)
+        assert p1 == p2, f"trial {trial}"

@@ -21,7 +21,8 @@ def main():
     import qb3_tpu
     from qb3_tpu import container
     from qb3_tpu.api import (DT_FROM_NP, Encoder, _decode_kernel_chunked,
-                             _decode_kernel_indexed, _indexed_window_R)
+                             _decode_kernel_indexed, _ic_static_params,
+                             _indexed_window_R)
     from qb3_tpu.constants import HILBERT
     from qb3_tpu.ops.decode import payload_words
     from qb3_tpu.ops.decode_chunked import parse_ic
@@ -73,9 +74,10 @@ def main():
             sic = e.encode(img.reshape(h, w, nb))
             ic_info = container.parse_headers(sic)
             kk, starts, entry, _total = parse_ic(ic_info.index_chunked, nblocks, nb)
+            maxw, Ric = _ic_static_params(starts, _total, npdt)
             dkc = _decode_kernel_chunked(nblocks, nb, h, w, HILBERT,
                                          tuple(ic_info.cband), False, name,
-                                         nw, kk)
+                                         nw, kk, maxw, Ric)
             ds = jax.device_put(jnp.asarray(starts.astype(np.int32)))
             de = jax.device_put(jnp.asarray(entry))
             try:
