@@ -463,11 +463,17 @@ def _decode_kernel_indexed(nblocks, nbands, h, w, order, cband, apply_step, npdt
 def _ic_static_params(starts: np.ndarray, total: int, uns_dt):
     """Static (maxw, R) for the fused Pallas chunk walk, or (None, None)
     when the XLA walk applies (non-u8, or no TPU backend)."""
+    return _ic_static_params_flat(starts, np.diff(np.append(starts, total)),
+                                  uns_dt)
+
+
+def _ic_static_params_flat(starts: np.ndarray, spans: np.ndarray, uns_dt):
+    """_ic_static_params over an explicit span list (the flat multi-tile
+    layout has inter-tile gaps, so spans != diff(starts))."""
     if np.dtype(uns_dt).itemsize != 1 or jax.default_backend() != "tpu":
         return None, None
     from .ops.chunkwalk_pallas import ic_maxw, ic_window_R
 
-    spans = np.diff(np.append(starts, total))
     maxw = ic_maxw(spans)
     return maxw, ic_window_R(starts, maxw)
 

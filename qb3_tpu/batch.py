@@ -31,9 +31,10 @@ def _batch_encode_kernel(n, shape, npdtype, order, cband, skipstep, n_words):
     def one(img):
         zp = jnp.zeros(nb, dtype=img.dtype)
         zr = jnp.zeros(nb, dtype=jnp.int32)
-        codes, lens, _, _ = encode_fast_blocks(img, zp, zr, order, cband, skipstep)
+        codes, lens, _, _, rung = encode_fast_blocks(img, zp, zr, order, cband,
+                                                     skipstep, with_rungs=True)
         words, total, glen = pack_groups_auto(codes, lens, n_words, maxbits)
-        return words, total, glen
+        return words, total, glen, rung
 
     return jax.jit(jax.vmap(one))
 
@@ -71,6 +72,30 @@ def _batch_best_decode_kernel(n, nblocks, nbands, h, w, order, cband,
         g = decode_groups_fused(words64_flat, kind, val_pos, vrung, cf, True,
                                 tbits, jax.default_backend() == "tpu", R)
         g = g.reshape(n, nblocks, nbands, B2)
+        return reconstruct_batch(g, h, w, nbands, order, cband, out_dtype)
+
+    return jax.jit(run)
+
+
+@functools.lru_cache(maxsize=32)
+def _batch_decode_kernel_chunked(n, nblocks, nbands, h, w, order, cband,
+                                 apply_step, npdtype, n_words, k_blocks,
+                                 maxw=None, R=None):
+    """Flat multi-tile self-contained decode: tiles' chunks concatenate into
+    one chunk-parallel walk (starts carry per-tile word bases), so the whole
+    batch rides one Pallas chunk-walk dispatch (chunkwalk_pallas.py)."""
+    from .ops.decode import reconstruct_batch
+    from .ops.decode_chunked import decode_chunked_auto
+
+    out_dtype = np.dtype(npdtype)
+    tbits = out_dtype.itemsize * 8
+    nchunks_per = -(-nblocks // k_blocks)
+
+    def run(words64_flat, starts, entry_rungs):
+        g = decode_chunked_auto(words64_flat, starts, entry_rungs, k_blocks,
+                                n * nchunks_per * k_blocks, nbands, apply_step,
+                                tbits, maxw, R, use_pallas=maxw is not None)
+        g = g.reshape(n, nchunks_per * k_blocks, nbands, B2)[:, :nblocks]
         return reconstruct_batch(g, h, w, nbands, order, cband, out_dtype)
 
     return jax.jit(run)
@@ -155,7 +180,8 @@ def encode_tiles(imgs: np.ndarray, mode: int = Mode.FTL, coreband=None,
     else:
         kern = _batch_encode_kernel(n, (h, w, nb), uns.dtype.name, order, cband,
                                     mode == Mode.FTL, n_words)
-        words, totals, glens = kern(jnp.asarray(uns))
+        words, totals, glens, rungs = kern(jnp.asarray(uns))
+        rungs = np.asarray(rungs)
     words = np.asarray(words)
     totals = np.asarray(totals)
     glens = np.asarray(glens)
@@ -171,6 +197,13 @@ def encode_tiles(imgs: np.ndarray, mode: int = Mode.FTL, coreband=None,
                 idx, sig = (glens[i].astype("<u2").tobytes()
                             + meta16[i].astype("<u2").tobytes()
                             + cfm.astype("<u2").tobytes()), b"ib"
+        elif index == "ic":
+            from .ops.decode_chunked import IC_DEFAULT_K, chunk_spans, pack_ic
+
+            spans, entry = chunk_spans(glens[i].astype(np.int64), rungs[i],
+                                       np.zeros(nb, np.int32), IC_DEFAULT_K)
+            if int(spans.sum()) < 1 << 31:
+                idx, sig = pack_ic(spans, entry, IC_DEFAULT_K), b"ic"
         elif index:
             idx = glens[i].astype("<u2").tobytes()
         hdr = container.write_headers(
@@ -190,8 +223,9 @@ def decode_tiles(streams: list[bytes]) -> np.ndarray:
            (i0.xsize, i0.ysize, i0.nbands, i0.dtype, i0.mode) for i in infos):
         raise QB3ShapeError("batch decode requires same-shape streams")
     best = all(i.index_best is not None for i in infos)
-    if not best and any(i.index is None for i in infos):
-        raise QB3ShapeError("batch decode needs the ix or ib sidecar")
+    chunked = all(i.index_chunked is not None for i in infos)
+    if not best and not chunked and any(i.index is None for i in infos):
+        raise QB3ShapeError("batch decode needs the ix, ic or ib sidecar")
     h, w, nb = i0.ysize, i0.xsize, i0.nbands
     if h % B != 0 or w % B != 0:
         raise QB3ShapeError("batch decode requires 4-aligned tiles")
@@ -203,8 +237,34 @@ def decode_tiles(streams: list[bytes]) -> np.ndarray:
     wlists = [payload_words(s[i.data_offset:]) for s, i in zip(streams, infos)]
     flat, tile_words32 = _flat_tile_layout(wlists)
     n_words = flat.size
+    if n_words * 64 >= 1 << 31:
+        # the flat walk carries int32 bit cursors (ops/decode.py)
+        raise QB3ShapeError(
+            "batch exceeds the 2^31-bit flat-decode limit; split the batch")
     tb = np.dtype(uns_dt).itemsize * 8
     n = len(streams)
+    if chunked and not best:
+        from .api import _ic_static_params_flat
+        from .ops.decode_chunked import parse_ic
+
+        metas = [parse_ic(i.index_chunked, nblocks, nb) for i in infos]
+        if any(m is None for m in metas) or \
+                any(m[0] != metas[0][0] for m in metas):
+            raise QB3ShapeError("inconsistent ic sidecar")
+        k = metas[0][0]
+        tbase = (np.arange(n, dtype=np.int64) * tile_words32 * 32)[:, None]
+        starts = (np.stack([m[1] for m in metas]) + tbase).reshape(-1)
+        entry = np.concatenate([m[2] for m in metas])
+        spans = np.concatenate(
+            [np.diff(np.append(m[1], m[3])) for m in metas])
+        maxw, R = _ic_static_params_flat(starts, spans, uns_dt)
+        kern = _batch_decode_kernel_chunked(
+            n, nblocks, nb, h, w, order, tuple(i0.cband),
+            i0.mode != Mode.FTL, np.dtype(uns_dt).name, n_words, k, maxw, R)
+        out = np.asarray(kern(jnp.asarray(flat.reshape(-1)),
+                              jnp.asarray(starts.astype(np.int32)),
+                              jnp.asarray(entry)))
+        return out.view(np_dt)
     if best:
         from .api import _parse_best_sidecar, _window_R_from_pos
 

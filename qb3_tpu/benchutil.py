@@ -65,3 +65,23 @@ def sustained(fn, iters: int = 30) -> float:
     outs = [fn() for _ in range(iters)]
     sync(outs[-1])
     return (time.perf_counter() - t0) / iters
+
+
+def sustained_stats(fn, iters: int = 30, windows: int = 3):
+    """(mean seconds/call, relative sigma) across ``windows`` independent
+    timing windows — the sigma records run-to-run noise on the relay
+    platform so matrix rows carry their own error bar.
+
+    Each window runs the FULL ``iters`` so the one trailing barrier is
+    amortized identically to :func:`sustained` — shrinking windows to
+    iters/3 was measured to deflate 2 ms kernels ~2.5x (the relay barrier
+    fetch is that expensive)."""
+    sync(fn())
+    ts = []
+    for _ in range(windows):
+        t0 = time.perf_counter()
+        outs = [fn() for _ in range(iters)]
+        sync(outs[-1])
+        ts.append((time.perf_counter() - t0) / iters)
+    mean = float(np.mean(ts))
+    return mean, float(np.std(ts) / mean) if mean else 0.0

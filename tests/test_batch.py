@@ -57,3 +57,28 @@ def test_batch_best_mode_roundtrip():
         assert streams[i] == single, f"tile {i}"
     out = decode_tiles(streams)
     np.testing.assert_array_equal(out, tiles)
+
+
+def test_batch_ic_roundtrip():
+    """Batched self-contained tiles: per-tile streams identical to the
+    standalone ic encode; one flat chunk-walk dispatch decodes the batch."""
+    import qb3_tpu
+    from qb3_tpu import container
+    from qb3_tpu.batch import decode_tiles, encode_tiles
+
+    tiles = np.stack([corpus.natural8(64, 64, 3, seed=60 + i)
+                      for i in range(4)])
+    streams = encode_tiles(tiles, mode=Mode.FTL, index="ic")
+    assert all(container.parse_headers(s).index_chunked is not None
+               for s in streams)
+    assert streams[0] == qb3_tpu.encode(tiles[0], mode=Mode.FTL, index="ic")
+    np.testing.assert_array_equal(decode_tiles(streams), tiles)
+
+
+def test_batch_ic_base_mode():
+    from qb3_tpu.batch import decode_tiles, encode_tiles
+
+    tiles = np.stack([corpus.natural8(48, 64, 1, seed=70 + i)
+                      for i in range(3)])
+    streams = encode_tiles(tiles, mode=Mode.BASE_H, index="ic")
+    np.testing.assert_array_equal(decode_tiles(streams), tiles)
