@@ -13,10 +13,16 @@ Baseline (BASELINE.md): reference CID22 single-thread FTL averages
 """
 
 import json
+import os
 import sys
 import time
 
 import numpy as np
+
+# persistent kernel cache: bench recompiles ~16 kernels per run otherwise,
+# and compile time (not compute) dominates its wall clock on the relay
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/qb3_jax_cache")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
 
 BASELINE_COMBINED = 1.0 / (1.0 / 397.76 + 1.0 / 354.57)  # 187.5 MB/s
 
@@ -165,6 +171,8 @@ def mode_matrix():
         print(f"# {name}: enc {row['encode_MBps']} MB/s, "
               f"dec {row['decode_MBps']} MB/s, ratio {row['ratio_pct']}%, "
               f"sidecar {row['sidecar_pct']}%", file=sys.stderr)
+        with open("BENCH_MATRIX.json", "w") as f:  # incremental: row-per-row
+            json.dump(rows, f, indent=1)
     return rows
 
 
@@ -279,15 +287,6 @@ def main():
     except Exception as e:  # pragma: no cover
         print(f"# batch path skipped: {e}", file=sys.stderr)
 
-    # ---- mode/dtype matrix with correctness gates -> BENCH_MATRIX.json
-    try:
-        matrix = mode_matrix()
-        import json as _json
-        with open("BENCH_MATRIX.json", "w") as f:
-            _json.dump(matrix, f, indent=1)
-    except Exception as e:  # pragma: no cover
-        print(f"# mode matrix skipped: {type(e).__name__}: {e}", file=sys.stderr)
-
     # end-to-end host rates for transparency
     t_e2e_enc = sustained(lambda: qb3_tpu.encode(img, mode=qb3_tpu.Mode.FTL), 5)
     t_e2e_dec = sustained(lambda: qb3_tpu.decode(sidx), 5)
@@ -295,13 +294,21 @@ def main():
           f"(self-contained, sidecar {sidecar_pct:.2f}%); "
           f"host-to-host encode {raw_mb/t_e2e_enc:.1f} / decode {raw_mb/t_e2e_dec:.1f} MB/s; "
           f"ratio {100*len(sidx)/img.nbytes:.1f}% incl. sidecar", file=sys.stderr)
+    # headline prints BEFORE the matrix so a driver timeout mid-matrix still
+    # records the metric; the matrix only writes stderr + BENCH_MATRIX.json
     print(json.dumps({
         "metric": "qb3 ftl encode+decode, 512x512x3 uint8, bit-exact, "
                   "self-contained streams",
         "value": round(combined, 2),
         "unit": "MB/s/chip",
         "vs_baseline": round(combined / BASELINE_COMBINED, 3),
-    }))
+    }), flush=True)
+
+    # ---- mode/dtype matrix with correctness gates -> BENCH_MATRIX.json
+    try:
+        mode_matrix()
+    except Exception as e:  # pragma: no cover
+        print(f"# mode matrix skipped: {type(e).__name__}: {e}", file=sys.stderr)
 
 
 if __name__ == "__main__":
