@@ -11,9 +11,15 @@ the band-delta add pass (QB3decode.h:729-737) one vectorized add.
 
 from __future__ import annotations
 
+import os
+
 import jax
 import jax.numpy as jnp
 import numpy as np
+
+# read once at import (a live env read inside traced code cannot retarget
+# already-compiled kernels and two call sites could disagree)
+_WAVE_ENV = os.environ.get("QB3_WAVE", "")
 
 from .. import tables as T
 from ..constants import B, B2, curve_offsets
@@ -222,11 +228,10 @@ def decode_indexed_narrow(words64, glens, nblocks: int, nbands: int,
     per = {8: 3, 16: 3, 32: 1, 64: 1}[tbits]
     takes = np.minimum(per, B2 - np.arange(0, B2, per))
 
-    import os as _os
-    if tbits == 8 and use_pallas and _os.environ.get("QB3_WAVE") != "xla":
+    if use_pallas and _WAVE_ENV != "xla":
         # fused Pallas walk: windows + accumulator stay in VMEM for all 16
         # steps (wavefront_pallas.py) instead of round-tripping HBM per op
-        from .wavefront_pallas import wavefront8
+        from .wavefront_pallas import wavefront8, wavefront_wide
 
         kind = jnp.where(is_group, 1, jnp.where(is_bits, 2, 0))
         G_BLK = 1024
@@ -240,7 +245,11 @@ def decode_indexed_narrow(words64, glens, nblocks: int, nbands: int,
             kind = jnp.concatenate([kind, zpad])
         else:
             rung_p = rung
-        g = wavefront8(regs_arr, off, rung_p, kind, NREG, G_BLK)[:ngroups]
+        if tbits == 8:
+            g = wavefront8(regs_arr, off, rung_p, kind, NREG, G_BLK)[:ngroups]
+        else:
+            g = wavefront_wide(regs_arr, off, rung_p, kind, NREG, tbits,
+                               G_BLK)[:ngroups]
         g = g.astype(W)
         if apply_step:
             match, ones = step_flip_index(g, rung)
@@ -665,6 +674,25 @@ def decode_groups(words64, kind, val_pos, vrung, cf, apply_step: bool,
     return g, pos
 
 
+def _undelta_cumsum(seq, tbits: int, axis: int):
+    """Wrapping prefix sum of mag-sign deltas, exact mod 2^tbits.
+
+    Truncation commutes with addition, so narrow types run the cumsum in
+    uint32 lanes (TPU-native) regardless of the 64-bit carrier; the 64-bit
+    case splits into two u32 cumsums plus a carry count (cum_lo < lo
+    detects each single-add wrap) — XLA's emulated u64 cumsum was measured
+    at ~2 ms for 1M elements (ftl-u64 1024x1024), ~4x this formulation.
+    """
+    if tbits <= 32:
+        return jnp.cumsum(seq.astype(jnp.uint32), axis=axis)
+    lo = seq.astype(jnp.uint32)
+    hi = (seq >> 32).astype(jnp.uint32)
+    cum_lo = jnp.cumsum(lo, axis=axis)
+    wrap = (cum_lo < lo).astype(jnp.uint32)
+    cum_hi = jnp.cumsum(hi + wrap, axis=axis)
+    return cum_lo.astype(jnp.uint64) | (cum_hi.astype(jnp.uint64) << 32)
+
+
 def reconstruct_batch(groups, h: int, w: int, nbands: int, order: int,
                       cband: tuple[int, ...], out_dtype):
     """Flat multi-tile reconstruct: (ntiles, nblocks, C, B2) mag-sign groups
@@ -676,12 +704,9 @@ def reconstruct_batch(groups, h: int, w: int, nbands: int, order: int,
     """
     assert h % B == 0 and w % B == 0, "batch reconstruct requires aligned tiles"
     tbits = np.iinfo(out_dtype).bits
-    lanes = jnp.iinfo(groups.dtype).bits
     ntiles, nblocks = groups.shape[0], groups.shape[1]
     seq = smag(groups).transpose(0, 2, 1, 3).reshape(ntiles, nbands, nblocks * B2)
-    if tbits < lanes:
-        seq = seq & jnp.array((1 << tbits) - 1, seq.dtype)
-    csum = jnp.cumsum(seq, axis=2)
+    csum = _undelta_cumsum(seq, tbits, axis=2)
     vals = csum.reshape(ntiles, nbands, nblocks, B2).astype(out_dtype)
 
     offs = curve_offsets(order)
@@ -706,12 +731,10 @@ def reconstruct(groups, entry_prev, h: int, w: int, nbands: int, order: int,
     band-delta add pass.
     """
     tbits = np.iinfo(out_dtype).bits
-    lanes = jnp.iinfo(groups.dtype).bits
     nblocks = groups.shape[0]
     seq = smag(groups).transpose(1, 0, 2).reshape(nbands, nblocks * B2)
-    if tbits < lanes:
-        seq = seq & jnp.array((1 << tbits) - 1, seq.dtype)
-    csum = jnp.cumsum(seq, axis=1) + entry_prev[:, None].astype(seq.dtype)
+    csum = _undelta_cumsum(seq, tbits, axis=1)
+    csum = csum + entry_prev[:, None].astype(csum.dtype)
     vals = csum.reshape(nbands, nblocks, B2).astype(out_dtype)  # truncates mod 2^bits
     exit_prev = csum[:, -1]
 

@@ -240,13 +240,23 @@ def pack_groups_chunked(codes, lens, n_words: int, max_group_bits: int,
     return words, total, glen.astype(jnp.uint16)
 
 
-def _extract_kernel(nrows: int):
-    def kernel(wrow_ref, words_ref, out_ref, sem):
+def _extract_kernel(nrows: int, tb: int):
+    """Batched window DMA: each grid step issues ``tb`` window copies
+    before waiting on any, so the copies overlap and the per-step grid
+    overhead amortizes — one-DMA-per-step with a blocking wait measured
+    2.2 ms for 512 windows on the u64 gather vs 1.7 ms batched x8."""
+    def kernel(wrow_ref, words_ref, out_ref, sems):
         t = pl.program_id(0)
-        dma = pltpu.make_async_copy(
-            words_ref.at[pl.ds(wrow_ref[t], nrows)], out_ref.at[0], sem)
-        dma.start()
-        dma.wait()
+
+        def dma(j):
+            return pltpu.make_async_copy(
+                words_ref.at[pl.ds(wrow_ref[t * tb + j], nrows)],
+                out_ref.at[j], sems.at[j])
+
+        for j in range(tb):
+            dma(j).start()
+        for j in range(tb):
+            dma(j).wait()
 
     return kernel
 
@@ -262,6 +272,10 @@ def extract_windows(words32, wrow, R: int, interpret: bool = False):
     """
     n_tiles = wrow.shape[0]
     nrows = R // 128
+    TB = 8
+    tpad = (-n_tiles) % TB
+    if tpad:
+        wrow = jnp.concatenate([wrow, jnp.broadcast_to(wrow[-1], (tpad,))])
     wpad = (-words32.shape[0]) % 128
     if wpad:
         words32 = jnp.concatenate([words32, jnp.zeros(wpad, words32.dtype)])
@@ -271,19 +285,21 @@ def extract_windows(words32, wrow, R: int, interpret: bool = False):
         [words2d, jnp.zeros((nrows, 128), jnp.int32)], axis=0)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(n_tiles,),
+        grid=((n_tiles + tpad) // TB,),
         in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
-        out_specs=pl.BlockSpec((1, nrows, 128), lambda t, ws: (t, 0, 0),
+        out_specs=pl.BlockSpec((TB, nrows, 128), lambda t, ws: (t, 0, 0),
                                memory_space=pltpu.VMEM),
-        scratch_shapes=[pltpu.SemaphoreType.DMA(())],
+        scratch_shapes=[pltpu.SemaphoreType.DMA((TB,))],
     )
     with jax.enable_x64(False):
         out = pl.pallas_call(
-            _extract_kernel(nrows),
+            _extract_kernel(nrows, TB),
             grid_spec=grid_spec,
-            out_shape=jax.ShapeDtypeStruct((n_tiles, nrows, 128), jnp.int32),
+            out_shape=jax.ShapeDtypeStruct((n_tiles + tpad, nrows, 128),
+                                           jnp.int32),
             interpret=interpret,
         )(wrow.astype(jnp.int32), words2d)
+    out = out[:n_tiles]
     return jax.lax.bitcast_convert_type(out, jnp.uint32).reshape(n_tiles, R)
 
 

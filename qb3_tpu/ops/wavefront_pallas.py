@@ -149,3 +149,163 @@ def wavefront8(regs_arr, off, rung, kind, NREG: int = 8, G_BLK: int = 1024,
           kind.astype(jnp.int32).reshape(shape1))
     out = jax.lax.bitcast_convert_type(out, jnp.uint32)
     return jnp.transpose(out.reshape(B2, ngroups), (1, 0))
+
+
+# --------------------------------------------------------- wide-type variant
+
+def _vlc32w(w, rung):
+    """_vlc32 with the swap gated to rung <= 7 (u16 lanes reach rung 15;
+    the group-context middle swap only exists for the tabled rungs,
+    QB3decode.h:21-23)."""
+    r = jnp.maximum(rung, 1)
+    rbit = jnp.int32(1) << (r & 31)
+    short = (w & 1) == 0
+    n = srl(w, 1) & 1
+    vmask = rbit - 1
+    v2 = srl(w, 2) & vmask
+    v = jnp.where(short, srl(w & vmask, 1),
+                  jnp.where(n == 0, v2 | srl(rbit, 1), v2 | rbit))
+    ln = jnp.where(short, r, r + 1 + n)
+    a = jnp.where(r == 1, jnp.int32(1),
+                  jnp.where(r == 2, jnp.int32(3), rbit - 1))
+    do = r <= 7
+    v = jnp.where(do & (v == a), a + 1, jnp.where(do & (v == a + 1), a, v))
+    return v, ln
+
+
+def _vlc64(wlo, whi, rung):
+    """Group-context VLC decode on a 64-bit window held as two i32 lanes.
+
+    rung in [1, 63]; returns (vlo, vhi, len) with len up to 65 (the rung-63
+    long form; its 65th bit — value bit 62 — is OR-ed in by the caller)."""
+    r = jnp.maximum(rung, 1)
+    lo32 = r < 32
+    rlo = jnp.where(lo32, jnp.int32(1) << (r & 31), 0)
+    rhi = jnp.where(lo32, 0, jnp.int32(1) << ((r - 32) & 31))
+    vmlo = jnp.where(lo32, rlo - 1, jnp.int32(-1))
+    vmhi = jnp.where(lo32, 0, rhi - 1)
+    short = (wlo & 1) == 0
+    n = srl(wlo, 1) & 1
+    # (w & vmask) >> 1
+    slo = wlo & vmlo
+    shi = whi & vmhi
+    vs_lo = srl(slo, 1) | (shi << 31)
+    vs_hi = srl(shi, 1)
+    # (w >> 2) & vmask
+    w2lo = (srl(wlo, 2) | (whi << 30)) & vmlo
+    w2hi = srl(whi, 2) & vmhi
+    # rbit >> 1
+    hlo = srl(rlo, 1) | (rhi << 31)
+    hhi = srl(rhi, 1)
+    vlo = jnp.where(short, vs_lo,
+                    jnp.where(n == 0, w2lo | hlo, w2lo | rlo))
+    vhi = jnp.where(short, vs_hi,
+                    jnp.where(n == 0, w2hi | hhi, w2hi | rhi))
+    ln = jnp.where(short, r, r + 1 + n)
+    # group-context swap, tabled rungs only (values fit the low lane there)
+    a = jnp.where(r == 1, jnp.int32(1),
+                  jnp.where(r == 2, jnp.int32(3),
+                            (jnp.int32(1) << jnp.clip(r, 0, 7)) - 1))
+    do = (r <= 7) & (vhi == 0)
+    vlo = jnp.where(do & (vlo == a), a + 1,
+                    jnp.where(do & (vlo == a + 1), a, vlo))
+    return vlo, vhi, ln
+
+
+def _wavefront_wide_kernel(NREG: int, G8: int, tbits: int):
+    """16-value walk for u16/u32/u64 lanes: the register window, the
+    per-value 64-bit window build, and the VLC chain all stay in
+    VMEM/vregs (the XLA formulation round-trips HBM per select)."""
+
+    def kernel(regs_ref, off_ref, rung_ref, kind_ref, out_ref):
+        regs = [regs_ref[j] for j in range(NREG)]
+        zero = jnp.zeros_like(regs[0])
+        regs = regs + [zero, zero, zero]
+        off0 = off_ref[0]
+        rung = rung_ref[0]
+        kind = kind_ref[0]
+        isg = kind == 1
+        isb = kind == 2
+
+        def selreg(k):
+            out = regs[NREG + 2]
+            for i in range(NREG + 1, -1, -1):
+                out = jnp.where(k == i, regs[i], out)
+            return out
+
+        def value_step(i, off):
+            wi = srl(off, 5)
+            sh = off & 31
+            r0, r1, r2 = selreg(wi), selreg(wi + 1), selreg(wi + 2)
+            nz = sh != 0
+            ish = (32 - sh) & 31
+            wlo = jnp.where(nz, srl(r0, sh) | (r1 << ish), r0)
+            if tbits == 16:
+                gv, gl = _vlc32w(wlo, rung)
+                v = jnp.where(isg, gv, jnp.where(isb, wlo & 1, 0))
+                ln = jnp.where(isg, gl, jnp.where(isb, 1, 0))
+                out_ref[i] = v
+            else:
+                whi = jnp.where(nz, srl(r1, sh) | (r2 << ish), r1)
+                gvl, gvh, gl = _vlc64(wlo, whi, rung)
+                if tbits == 64:
+                    # rung-63 long form: the 65th stream bit is value bit 62
+                    extra = srl(r2, sh) & 1
+                    gvh = gvh | jnp.where(isg & (gl == 65), extra << 30, 0)
+                v_lo = jnp.where(isg, gvl, jnp.where(isb, wlo & 1, 0))
+                v_hi = jnp.where(isg, gvh, 0)
+                ln = jnp.where(isg, gl, jnp.where(isb, 1, 0))
+                out_ref[i] = v_lo
+                out_ref[B2 + i] = v_hi
+            return off + ln
+
+        jax.lax.fori_loop(0, B2, value_step, off0)
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=("NREG", "tbits", "G_BLK",
+                                             "interpret"))
+def wavefront_wide(regs_arr, off, rung, kind, NREG: int, tbits: int,
+                   G_BLK: int = 1024, interpret: bool = False):
+    """Wide-lane sibling of wavefront8: regs_arr (ngroups, NREG) u32
+    register windows, off (ngroups,) i32 value-start phase (< 64), rung,
+    kind (1 group / 2 bits / 0 zero) -> (ngroups, B2) uint64 mag-sign
+    values (u16 path returns the same dtype for a uniform caller).
+    ngroups % G_BLK == 0."""
+    ngroups = regs_arr.shape[0]
+    G8 = G_BLK // 128
+    n_tiles = ngroups // G_BLK
+    regsT = jnp.transpose(regs_arr).reshape(NREG, n_tiles * G8, 128)
+    regsT = jax.lax.bitcast_convert_type(regsT, jnp.int32)
+    shape1 = (1, n_tiles * G8, 128)
+    nrows = B2 if tbits == 16 else 2 * B2
+    with jax.enable_x64(False):
+        out = pl.pallas_call(
+            _wavefront_wide_kernel(NREG, G8, tbits),
+            grid=(n_tiles,),
+            in_specs=[
+                pl.BlockSpec((NREG, G8, 128), lambda t: (0, t, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, G8, 128), lambda t: (0, t, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, G8, 128), lambda t: (0, t, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, G8, 128), lambda t: (0, t, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((nrows, G8, 128), lambda t: (0, t, 0),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((nrows, n_tiles * G8, 128),
+                                           jnp.int32),
+            interpret=interpret,
+        )(regsT,
+          off.astype(jnp.int32).reshape(shape1),
+          rung.astype(jnp.int32).reshape(shape1),
+          kind.astype(jnp.int32).reshape(shape1))
+    out = jax.lax.bitcast_convert_type(out, jnp.uint32).reshape(nrows, ngroups)
+    if tbits == 16:
+        return jnp.transpose(out).astype(jnp.uint64)
+    lo = jnp.transpose(out[:B2]).astype(jnp.uint64)
+    hi = jnp.transpose(out[B2:]).astype(jnp.uint64)
+    return lo | (hi << 32)
