@@ -40,6 +40,39 @@ def _batch_encode_kernel(n, shape, npdtype, order, cband, skipstep, n_words):
 
 
 @functools.lru_cache(maxsize=32)
+def _batch_encode_kernel_ic(n, shape, npdtype, order, cband, skipstep,
+                            n_words, k_blocks):
+    """Batch encode emitting the "ic" sidecar pieces ON DEVICE: per-chunk
+    bit spans (segment sums of glens) and entry rung state (every k-th
+    block's runbits).  The host then fetches 14 KB/tile of sidecar instead
+    of the full per-group tensors (~300 KB/tile) — the host-to-host
+    pipeline is transfer-bound (doc/DESIGN.md)."""
+    from .ops.bitpack import group_bits_bound, pack_groups_auto
+    from .ops.encode import encode_fast_blocks
+
+    maxbits = group_bits_bound(np.dtype(npdtype).itemsize * 8, best=False)
+    h, w, nb = shape
+    nblocks = (h // B) * (w // B)
+    nchunks = -(-nblocks // k_blocks)
+
+    def one(img):
+        zp = jnp.zeros(nb, dtype=img.dtype)
+        zr = jnp.zeros(nb, dtype=jnp.int32)
+        codes, lens, _, _, rung = encode_fast_blocks(img, zp, zr, order, cband,
+                                                     skipstep, with_rungs=True)
+        words, total, glen = pack_groups_auto(codes, lens, n_words, maxbits)
+        g = jnp.zeros(nchunks * k_blocks * nb, jnp.int32)
+        g = g.at[: nblocks * nb].set(glen.astype(jnp.int32))
+        spans = g.reshape(nchunks, -1).sum(axis=1).astype(jnp.uint32)
+        entry = jnp.concatenate(
+            [jnp.zeros((1, nb), jnp.int32),
+             rung[k_blocks - 1: (nchunks - 1) * k_blocks: k_blocks]], axis=0)
+        return words, total, spans, entry.astype(jnp.uint8)
+
+    return jax.jit(jax.vmap(one))
+
+
+@functools.lru_cache(maxsize=32)
 def _batch_best_kernel(n, shape, npdtype, order, cband, n_words):
     from .ops.bitpack import group_bits_bound, pack_groups_auto
     from .ops.encode_best import encode_best_blocks
