@@ -103,34 +103,45 @@ def _shard_best_fn(order, cband, ubits, n_words, axis, maxbits):
 
 @functools.lru_cache(maxsize=16)
 def _sharded_kernel(shape, npdtype, order, cband, best, skipstep, n_words, n_dev):
+    """Framed-path encode kernel.  Fast modes stitch INSIDE shard_map via
+    scatter_stitch_shard — each link carries only the 8-byte totals
+    all-gather, and every device keeps just its own word span (the
+    post-shard_map stitch_words_device moved O(stream bytes) per link,
+    doc/SCALING.md item 1).  Best mode still uses the device stitch."""
     if len(jax.devices()) < n_dev:
         raise RuntimeError(
             f"need {n_dev} devices, have {len(jax.devices())} "
             "(set --xla_force_host_platform_device_count for CPU testing)")
-    from ..stitch import stitch_words_device
+    from ..stitch import scatter_stitch_shard, stitch_words_device
 
     mesh = Mesh(np.array(jax.devices()[:n_dev]), ("tiles",))
     ubits = ubits_for(np.dtype(npdtype).itemsize)
     maxbits = group_bits_bound(np.dtype(npdtype).itemsize * 8, best=best)
     if best:
         fn = _shard_best_fn(order, cband, ubits, n_words, "tiles", maxbits)
-        n_out = 5
-    else:
-        fn = _shard_encode_fn(order, cband, skipstep, ubits, n_words, "tiles",
-                              maxbits)
-        n_out = 4
+        mapped = jax.shard_map(fn, mesh=mesh, in_specs=P("tiles"),
+                               out_specs=(P("tiles"),) * 5)
+        nw_out = (n_dev * n_words) // 2 + 2
+
+        def run(arr):
+            outs = mapped(arr)
+            words, totals = outs[0], outs[1]
+            stitched, total = stitch_words_device(words, totals, nw_out)
+            return (stitched, total, totals) + tuple(outs[2:])
+
+        return jax.jit(run), mesh, False
+
+    base = _shard_encode_fn(order, cband, skipstep, ubits, n_words, "tiles",
+                            maxbits)
+
+    def fn(img_local):
+        words, total, glen, rung = base(img_local)
+        own, n_own, nbits = scatter_stitch_shard(words[0], total[0], "tiles")
+        return own[None], n_own[None], nbits[None], glen, rung
+
     mapped = jax.shard_map(fn, mesh=mesh, in_specs=P("tiles"),
-                           out_specs=(P("tiles"),) * n_out)
-    nw_out = (n_dev * n_words) // 2 + 2
-
-    def run(arr):
-        outs = mapped(arr)
-        words, totals = outs[0], outs[1]
-        # device-side stitch: one bit-dense stream, no host bigint work
-        stitched, total = stitch_words_device(words, totals, nw_out)
-        return (stitched, total, totals) + tuple(outs[2:])
-
-    return jax.jit(run), mesh
+                           out_specs=(P("tiles"),) * 5)
+    return jax.jit(mapped), mesh, True
 
 
 @functools.lru_cache(maxsize=16)
@@ -207,13 +218,21 @@ def _encode_sharded_payload(img, n_dev, order, cband, skipstep, best):
     if cband is None:
         cband = tuple(range(nb))
     from ..api import max_encoded_size, DT_FROM_NP
+    from ..stitch import assemble_scatter
     n_words = (max_encoded_size(w, h // n_dev, nb, DT_FROM_NP[img.dtype]) + 3) // 4 + 2
-    kern, mesh = _sharded_kernel((h, w, nb), img.dtype.name, order, tuple(cband),
-                                 best, skipstep, n_words, n_dev)
+    kern, mesh, scatter = _sharded_kernel((h, w, nb), img.dtype.name, order,
+                                          tuple(cband), best, skipstep,
+                                          n_words, n_dev)
     arr = jax.device_put(jnp.asarray(img), NamedSharding(mesh, P("tiles")))
     outs = kern(arr)
-    stitched, total, totals = np.asarray(outs[0]), int(outs[1]), np.asarray(outs[2])
-    payload = stitched.view(np.uint8)[: (total + 7) // 8].tobytes()
+    if scatter:
+        own, n_own, totals = (np.asarray(outs[0]), np.asarray(outs[1]),
+                              np.asarray(outs[2]).reshape(-1))
+        payload = assemble_scatter(own, n_own.reshape(-1), totals)
+    else:
+        stitched, total, totals = (np.asarray(outs[0]), int(outs[1]),
+                                   np.asarray(outs[2]))
+        payload = stitched.view(np.uint8)[: (total + 7) // 8].tobytes()
     glens = np.asarray(outs[3]).reshape(-1)
     extra = tuple(np.asarray(o) for o in outs[4:])  # rungs / (meta16, cfv)
     return payload, totals, glens, extra
