@@ -27,7 +27,7 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..errors import QB3ShapeError
-from ..constants import B, HILBERT, ubits_for
+from ..constants import B, B2, HILBERT, ubits_for
 from ..ops.bitpack import group_bits_bound, pack_groups
 from ..ops.encode import block_rungs, delta_mags, fast_symbols, gather_blocks
 
@@ -449,23 +449,27 @@ def _shard_decode_best_fn(order, cband, tbits, nblocks_l, nbands, h_l, w, axis):
 
 
 def _shard_decode_chunked_fn(order, cband, apply_step, tbits, k_blocks,
-                             nblocks_l, nbands, h_l, w, axis):
-    """ic-sidecar shard decode: each shard walks its own chunks (starts
-    already window-relative) with the chunk-parallel wavefront."""
+                             nblocks_l, nbands, h_l, w, axis, ncl):
+    """ic-sidecar shard decode: each shard walks the ``ncl`` chunks that
+    COVER its strip (chunk anchors need not align with shard boundaries —
+    the strip's first blocks may sit mid-chunk) and dynamic-slices its own
+    nblocks_l block rows out of the decoded range."""
     from ..ops.decode_chunked import decode_chunked
 
-    def fn(win64, starts_l, entry_l):
-        g = decode_chunked(win64, starts_l, entry_l, k_blocks, nblocks_l,
-                           nbands, apply_step, tbits)
-        return _finish_shard(g, nblocks_l, nbands, h_l, w, order, cband,
-                             tbits, axis)
+    def fn(win64, starts_l, entry_l, blkoff):
+        g = decode_chunked(win64, starts_l, entry_l, k_blocks,
+                           ncl * k_blocks, nbands, apply_step, tbits)
+        g = g.reshape(ncl * k_blocks, nbands, B2)
+        g = jax.lax.dynamic_slice_in_dim(g, blkoff[0], nblocks_l, axis=0)
+        return _finish_shard(g.reshape(nblocks_l * nbands, B2), nblocks_l,
+                             nbands, h_l, w, order, cband, tbits, axis)
 
     return fn
 
 
 @functools.lru_cache(maxsize=16)
 def _sharded_decode_kernel(npdtype, order, cband, apply_step, ws64, n_dev,
-                           h, w, nbands, sidecar, k_blocks=0):
+                           h, w, nbands, sidecar, k_blocks=0, ncl=0):
     if len(jax.devices()) < n_dev:
         raise RuntimeError(f"need {n_dev} devices")
     from ..constants import ubits_for
@@ -481,8 +485,8 @@ def _sharded_decode_kernel(npdtype, order, cband, apply_step, ws64, n_dev,
     elif sidecar == "ic":
         fn = _shard_decode_chunked_fn(order, cband, apply_step, tbits,
                                       k_blocks, nblocks_l, nbands, h_l, w,
-                                      "tiles")
-        in_specs = (P("tiles"),) * 3
+                                      "tiles", ncl)
+        in_specs = (P("tiles"),) * 4
     else:
         fn = _shard_decode_fn(order, cband, apply_step, ubits_for(tsize),
                               tbits, nblocks_l, nbands, h_l, w, "tiles")
@@ -568,23 +572,32 @@ def decode_fast_sharded(stream: bytes, n_dev: int) -> np.ndarray:
             raise QB3ShapeError("inconsistent ic sidecar")
         k, starts, entry, _tot = parsed
         nchunks = len(starts)
-        if nchunks % n_dev or (nchunks // n_dev) * k != nblocks_l:
-            raise QB3ShapeError(
-                "chunk grid must split evenly over devices for sharded ic")
-        ncl = nchunks // n_dev
-        s2 = starts.reshape(n_dev, ncl)
+        # shard s covers chunks [c0, c1): anchors need not align with the
+        # strip boundary — the head blocks of a straddling chunk are
+        # decoded too and sliced off in-shard (blkoff)
+        sidx = np.arange(n_dev, dtype=np.int64)
+        c0 = (sidx * nblocks_l) // k
+        c1 = -(-((sidx + 1) * nblocks_l) // k)
+        ncl = int((c1 - c0).max())
+        idx = np.minimum(c0[:, None] + np.arange(ncl)[None, :], nchunks - 1)
+        s2 = starts[idx]
+        blkoff = (sidx * nblocks_l - c0 * k).astype(np.int32)
         start_bits = s2[:, 0]
-        end_bits = np.concatenate([start_bits[1:], [len(words) * 64 - slack * 64]])
+        # the window must span through the shard's LAST chunk (it may
+        # straddle into the next strip), i.e. to the next anchor after c1-1
+        end_bits = np.where(c1 < nchunks,
+                            starts[np.minimum(c1, nchunks - 1)], _tot)
         win, winbase = _shard_windows(words, start_bits, end_bits, slack)
         lstarts = (s2 - winbase[:, None]).astype(np.int32)
         kern, mesh = _sharded_decode_kernel(
             np.dtype(uns_dt).name, order, tuple(info.cband),
-            info.mode != Mode.FTL, win.shape[1], n_dev, h, w, nb, "ic", k)
+            info.mode != Mode.FTL, win.shape[1], n_dev, h, w, nb, "ic", k, ncl)
         sh = NamedSharding(mesh, P("tiles"))
         out = np.asarray(kern(
             jax.device_put(jnp.asarray(win), sh),
             jax.device_put(jnp.asarray(lstarts), sh),
-            jax.device_put(jnp.asarray(entry.reshape(n_dev, ncl, nb)), sh)))
+            jax.device_put(jnp.asarray(entry[idx]), sh),
+            jax.device_put(jnp.asarray(blkoff.reshape(n_dev, 1)), sh)))
         return out.view(np_dt)
 
     if info.index is None or info.mode not in (Mode.FTL, Mode.BASE_H, Mode.BASE_Z):

@@ -87,3 +87,26 @@ def test_scatter_stitch_zero_own_shards():
         p1, _ = encode_fast_sharded(img, 8)
         p2, _ = encode_fast_sharded_scatter(img, 8)
         assert p1 == p2, f"trial {trial}"
+
+
+def test_sharded_decode_ic_unaligned_chunks():
+    """Chunk anchors (K=8 blocks) need not align with shard boundaries:
+    a 32x20x1 image over 8 devices puts 20 blocks (2.5 chunks) per shard —
+    every strip starts mid-chunk except the first."""
+    img = corpus.natural8(32, 80, 1, seed=350)
+    s = qb3_tpu.encode(img, mode=Mode.FTL, index="ic")
+    out = decode_fast_sharded(s, 8)
+    np.testing.assert_array_equal(out, img)
+
+
+def test_sharded_decode_ic_unaligned_chunks_k3():
+    from qb3_tpu.api import DT_FROM_NP, Encoder
+
+    img = corpus.natural8(48, 52, 3, seed=351)
+    e = Encoder(52, 48, 3, DT_FROM_NP[img.dtype])
+    e.set_mode(Mode.FTL)
+    e.with_index = "ic"
+    e.index_chunk_blocks = 3
+    s = e.encode(img)
+    out = decode_fast_sharded(s, 4)
+    np.testing.assert_array_equal(out, img)
