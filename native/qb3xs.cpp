@@ -82,6 +82,61 @@ enum Kind : uint8_t { K_NORMAL = 0, K_ZERO, K_BITS, K_CF, K_CF0, K_IDX };
 
 }  // namespace
 
+namespace {
+
+// u8 FTL specialization: every rung is tabled (<= 7), no extended
+// encodings, and a group spans <= 150 bits — the codeswitch, the rung-0
+// flag, and the first ~6 values all come from one 64-bit window.
+int64_t parse_u8_ftl(Bits& s, int64_t nblocks, int nbands, int32_t* runbits,
+                     uint8_t* kind, int64_t* val_pos, int32_t* vrung,
+                     uint64_t* cf_out, int32_t* rung_out) {
+    const uint16_t* dsw = DSW_T[3];
+    int64_t gi = 0;
+    for (int64_t b = 0; b < nblocks; b++) {
+        for (int c = 0; c < nbands; c++, gi++) {
+            uint64_t w = s.peek();
+            int used = 1;
+            int rung = runbits[c];
+            if (w & 1) {
+                uint16_t e = dsw[(w >> 1) & 15];
+                used = e >> 12;
+                rung = (rung + (e & TBL)) & 7;
+                runbits[c] = rung;
+            }
+            vrung[gi] = rung;
+            rung_out[gi] = rung;
+            cf_out[gi] = 0;
+            if (rung == 0) {
+                int flag = int((w >> used) & 1);
+                s.pos += used + 1;
+                val_pos[gi] = s.pos;
+                kind[gi] = flag ? K_BITS : K_ZERO;
+                if (flag) s.pos += B2;
+                continue;
+            }
+            kind[gi] = K_NORMAL;
+            s.pos += used;
+            val_pos[gi] = s.pos;
+            const uint16_t* t = DGRP_T[rung];
+            const uint32_t m = (1u << (rung + 2)) - 1;
+            int vused = used;  // keep riding the same window
+            for (int i = 0; i < B2; i++) {
+                if (vused > 55) {
+                    s.pos += vused - used;
+                    w = s.peek();
+                    used = 0;
+                    vused = 0;
+                }
+                vused += t[(w >> vused) & m] >> 12;
+            }
+            s.pos += vused - used;
+        }
+    }
+    return s.pos;
+}
+
+}  // namespace
+
 extern "C" {
 
 // Walk the stream; fills (nblocks*nbands)-sized arrays in stream order.
@@ -111,6 +166,9 @@ int64_t qb3xs_parse(const uint8_t* payload, size_t len_bytes, int64_t nblocks,
     Bits s{payload, len_bytes};
     s.pos = start_bit;  // streaming callers resume mid-payload
     const int64_t n_total = nblocks * nbands;
+    if (tsize == 1 && is_ftl)
+        return parse_u8_ftl(s, nblocks, nbands, runbits, kind, val_pos,
+                            vrung, cf_out, rung_out);
     bool failed = false;
     int64_t gi = 0;
     for (int64_t b = 0; b < nblocks && !failed; b++) {
@@ -139,11 +197,35 @@ int64_t qb3xs_parse(const uint8_t* payload, size_t len_bytes, int64_t nblocks,
                 } else {
                     kind[gi] = K_NORMAL;
                     val_pos[gi] = s.pos;
+                    // one 64-bit window serves several values (u8: >= 6 per
+                    // refill) instead of an unaligned peek per value — the
+                    // per-value peek made the walk ~3x slower than the
+                    // reference's accumulator decoder
                     if (rung <= 7) {
                         const uint16_t* t = DGRP_T[rung];
                         const uint32_t m = (1u << (rung + 2)) - 1;
-                        for (int i = 0; i < B2; i++)
-                            s.pos += t[s.peek() & m] >> 12;
+                        uint64_t w = s.peek();
+                        int used = 0;
+                        for (int i = 0; i < B2; i++) {
+                            if (used > 55) {
+                                s.pos += used; w = s.peek(); used = 0;
+                            }
+                            used += t[(w >> used) & m] >> 12;
+                        }
+                        s.pos += used;
+                    } else if (rung <= 62) {  // ln <= 64: no long form
+                        const int need = rung + 2;
+                        uint64_t w = s.peek();
+                        int used = 0;
+                        for (int i = 0; i < B2; i++) {
+                            if (used + need > 64) {
+                                s.pos += used; w = s.peek(); used = 0;
+                            }
+                            int ln; uint64_t v;
+                            qb3dsz(w >> used, rung, &ln, &v);
+                            used += ln;
+                        }
+                        s.pos += used;
                     } else {
                         for (int i = 0; i < B2; i++) {
                             int ln; uint64_t v;
