@@ -74,6 +74,15 @@ def _batch_encode_kernel_ic(n, shape, npdtype, order, cband, skipstep,
 
 @functools.lru_cache(maxsize=32)
 def _batch_best_kernel(n, shape, npdtype, order, cband, n_words):
+    """Best-mode batch encode (plain vmap; keep best batches small).
+
+    The index-trial intermediates ((nblocks, C, 16, 16) eq tensors,
+    encode_best.py) scale HBM with the batch (110 MB/s at vmap-32, round
+    2), and both bounded-memory reformulations fail on this platform:
+    lax.map over vmap-4 chunks compiles for > 9 minutes; lax.map over
+    single tiles OOMs XLA's scoped VMEM in the loop-body reduce-window.
+    The serving shape for best mode is therefore QUEUED SINGLE DISPATCHES
+    (async pipeline), measured 198-206 MB/s vs the reference's 160.93."""
     from .ops.bitpack import group_bits_bound, pack_groups_auto
     from .ops.encode_best import encode_best_blocks
 
