@@ -146,11 +146,13 @@ def mode_matrix(save):
             dargs = (dw, jnp.asarray(starts.astype(np.int32)),
                      jnp.asarray(entry), zp)
         else:
+            from qb3_tpu.api import _indexed_nreg
             glens = np.frombuffer(info.index, dtype="<u2").astype(np.int32)
             R = _indexed_window_R(glens, tb)
             dk = _decode_kernel_indexed(nblocks, nb, h, w, order,
                                         tuple(info.cband), mode != Mode.FTL,
-                                        np.dtype(npdt).name, nw, R)
+                                        np.dtype(npdt).name, nw, R,
+                                        _indexed_nreg(glens, tb))
             dargs = (dw, jnp.asarray(glens), zp)
         out = dk(*dargs)
         assert (np.asarray(out[0]).reshape(img.shape) == img).all(), name

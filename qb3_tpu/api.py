@@ -427,6 +427,18 @@ def _parse_best_sidecar(buf: bytes, ngroups: int):
 
 # ------------------------------------------------------------------- decoder
 
+def _indexed_nreg(glens: np.ndarray, tbits: int) -> int:
+    """Register-window word count from the stream's ACTUAL max group span
+    (the format-worst count — 36 words for u64 — prices the one-hot gather
+    and the select chains; bucketed to limit recompiles)."""
+    from .ops.decode import _NREG_IX
+
+    if glens.size == 0:
+        return _NREG_IX[tbits]
+    need = (31 + int(glens.max()) + 1 + 31) // 32 + 1
+    return min(_NREG_IX[tbits], max(4, -(-need // 4) * 4))
+
+
 def _indexed_window_R(glens: np.ndarray, tbits: int, G: int = 128) -> int:
     """Window word count for the register gather (ops/gather.py), from the
     actual per-tile spans in the sidecar (bucketed to limit recompiles)."""
@@ -440,7 +452,7 @@ def _indexed_window_R(glens: np.ndarray, tbits: int, G: int = 128) -> int:
 
 @functools.lru_cache(maxsize=64)
 def _decode_kernel_indexed(nblocks, nbands, h, w, order, cband, apply_step, npdtype, n_words,
-                           R=None):
+                           R=None, nreg=None):
     from .constants import ubits_for
     from .ops.decode import reconstruct
 
@@ -452,7 +464,8 @@ def _decode_kernel_indexed(nblocks, nbands, h, w, order, cband, apply_step, npdt
         from .ops.decode import decode_indexed_narrow
         g = decode_indexed_narrow(words64, glens, nblocks, nbands,
                                   apply_step,
-                                  jax.default_backend() == "tpu", tbits, R)
+                                  jax.default_backend() == "tpu", tbits, R,
+                                  nreg=nreg)
         g = g.reshape(nblocks, nbands, B2)
         img, exit_prev = reconstruct(g, entry_prev, h, w, nbands, order, cband, out_dtype)
         return img, exit_prev
@@ -651,7 +664,8 @@ class Decoder:
             R = _indexed_window_R(glens, tb)
             kern = _decode_kernel_indexed(
                 nblocks, nb, h, w, order, tuple(info.cband),
-                info.mode != Mode.FTL, np.dtype(uns_dt).name, n_words, R)
+                info.mode != Mode.FTL, np.dtype(uns_dt).name, n_words, R,
+                _indexed_nreg(glens, tb))
             img, _ = kern(jnp.asarray(wpad), jnp.asarray(glens),
                           jnp.zeros(nb, dtype=jnp.uint64))
             self.decode_path = "ix"

@@ -145,7 +145,7 @@ def _batch_decode_kernel_chunked(n, nblocks, nbands, h, w, order, cband,
 
 @functools.lru_cache(maxsize=32)
 def _batch_decode_kernel(n, nblocks, nbands, h, w, order, cband, apply_step,
-                         npdtype, n_words, R=None, tile_words32=0):
+                         npdtype, n_words, R=None, tile_words32=0, nreg=None):
     """Flat multi-tile indexed decode: one gather + wavefront over the
     concatenated batch (ntiles * nblocks * nbands groups).  vmapping the
     single-tile kernel instead serializes the gather (measured 41 MB/s/tile
@@ -159,7 +159,7 @@ def _batch_decode_kernel(n, nblocks, nbands, h, w, order, cband, apply_step,
         g = decode_indexed_narrow(words64_flat, glens_flat, nblocks, nbands,
                                   apply_step, jax.default_backend() == "tpu",
                                   tbits, R, ntiles=n,
-                                  tile_words32=tile_words32)
+                                  tile_words32=tile_words32, nreg=nreg)
         g = g.reshape(n, nblocks, nbands, B2)
         return reconstruct_batch(g, h, w, nbands, order, cband, out_dtype)
 
@@ -329,9 +329,11 @@ def decode_tiles(streams: list[bytes]) -> np.ndarray:
     glens = np.stack([
         np.frombuffer(i.index, dtype="<u2").astype(np.int32) for i in infos])
     R = _flat_window_R(glens, tile_words32, tb)
+    from .api import _indexed_nreg
     kern = _batch_decode_kernel(n, nblocks, nb, h, w, order,
                                 tuple(i0.cband), i0.mode != Mode.FTL,
-                                np.dtype(uns_dt).name, n_words, R, tile_words32)
+                                np.dtype(uns_dt).name, n_words, R,
+                                tile_words32, _indexed_nreg(glens, tb))
     out = np.asarray(kern(jnp.asarray(flat.reshape(-1)),
                           jnp.asarray(glens.reshape(-1))))
     return out.view(np_dt)

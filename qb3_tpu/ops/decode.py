@@ -132,7 +132,7 @@ _GMAX_IX = {8: 150, 16: 280, 32: 540, 64: 1056}
 def decode_indexed_narrow(words64, glens, nblocks: int, nbands: int,
                           apply_step: bool, use_pallas: bool, tbits: int = 8,
                           R: int | None = None, ntiles: int = 1,
-                          tile_words32: int = 0):
+                          tile_words32: int = 0, nreg: int | None = None):
     """Fused sidecar-indexed decode, all element widths.
 
     One MXU one-hot gather per group loads its register window; the
@@ -164,7 +164,10 @@ def decode_indexed_narrow(words64, glens, nblocks: int, nbands: int,
     base = (goff >> 5).astype(jnp.int32)
     off0 = (goff & 31).astype(jnp.int32)
 
-    NREG = _NREG_IX[tbits]
+    # adaptive register count: the format-worst window (36 words for u64)
+    # prices the one-hot gather; the sidecar knows this stream's true max
+    # group span, and typical u64 groups need ~24 words (api._indexed_nreg)
+    NREG = nreg if nreg is not None else _NREG_IX[tbits]
     gmax = _GMAX_IX[tbits]
     words32 = jax.lax.bitcast_convert_type(words64, jnp.uint32).reshape(-1)
     if use_pallas:

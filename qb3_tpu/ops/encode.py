@@ -62,9 +62,18 @@ def gather_blocks(img, order: int, cband: tuple[int, ...]):
         # aligned: blocks tile the image exactly; the curve gather becomes a
         # static permutation over the 16-lane axis (pure layout, no gather)
         perm = np.array([dy * B + dx for dy, dx in offs], dtype=np.int32)
-        t = img.reshape(h // B, B, w // B, B, nb)
-        t = t.transpose(0, 2, 4, 1, 3).reshape(-1, nb, B2)
-        vals = t[:, :, perm]
+        if img.dtype.itemsize == 8:
+            # XLA's 64-bit relayout of the block transpose is ~25% slower
+            # than moving u32 lane pairs (measured 3.9 vs 3.1 ms on the
+            # 1024x1024 u64 tile); same permutation, pair-split
+            i32 = jax.lax.bitcast_convert_type(img, jnp.uint32)
+            t = i32.reshape(h // B, B, w // B, B, nb, 2)
+            t = t.transpose(0, 2, 4, 1, 3, 5).reshape(-1, nb, B2, 2)
+            vals = jax.lax.bitcast_convert_type(t[:, :, perm], jnp.uint64)
+        else:
+            t = img.reshape(h // B, B, w // B, B, nb)
+            t = t.transpose(0, 2, 4, 1, 3).reshape(-1, nb, B2)
+            vals = t[:, :, perm]
     else:
         ys = block_origins(h)
         xs = block_origins(w)

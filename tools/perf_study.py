@@ -93,17 +93,25 @@ def size_study(args, out_dir):
 
 
 def rate_study(args):
-    """Batched device rates per mode on the default backend."""
+    """Device rates per mode on the default backend, measured with the
+    honest barrier (benchutil.sustained): FTL/BASE batched 32/dispatch
+    (flat ix layout + self-contained ic chunk walk), BEST as queued single
+    dispatches (batching best measured slower three ways, batch.py)."""
     import jax
     import jax.numpy as jnp
 
     import qb3_tpu
     from qb3_tpu import container
     from qb3_tpu.api import (_best_kernel, _decode_kernel, _fast_kernel,
-                             _parse_best_sidecar, max_encoded_size)
-    from qb3_tpu.batch import _batch_decode_kernel, _batch_encode_kernel
+                             _ic_static_params_flat, _parse_best_sidecar,
+                             _window_R_from_pos, max_encoded_size)
+    from qb3_tpu.batch import (_batch_decode_kernel,
+                               _batch_decode_kernel_chunked,
+                               _batch_encode_kernel, _flat_tile_layout,
+                               _flat_window_R, encode_tiles)
     from qb3_tpu.constants import HILBERT, Mode
     from qb3_tpu.ops.decode import payload_words
+    from qb3_tpu.ops.decode_chunked import parse_ic
     from corpus import photo8
 
     def sustained(fn, iters=12):
@@ -116,27 +124,25 @@ def rate_study(args):
     tiles = np.stack([photo8(h, w, seed=3000 + i) for i in range(NBATCH)])
     raw_mb = tiles[0].nbytes / 1e6
     n_words = (max_encoded_size(w, h, nb, 0) + 3) // 4 + 2
+    nblocks = (h // 4) * (w // 4)
     rates = {}
     for label, mode in (("ftl", Mode.FTL), ("base", Mode.BASE_H)):
         ek = _batch_encode_kernel(NBATCH, (h, w, nb), "uint8", HILBERT,
                                   (1, 1, 1), mode == Mode.FTL, n_words)
         dt = jax.device_put(jnp.asarray(tiles))
         t_enc = sustained(lambda: ek(dt)) / NBATCH
-        from qb3_tpu.batch import encode_tiles
         streams = encode_tiles(tiles, mode=mode, index=True)
         infos = [container.parse_headers(s) for s in streams]
         wl = [payload_words(s[i.data_offset:]) for s, i in zip(streams, infos)]
-        nw = 1 << max(4, int(np.ceil(np.log2(max(len(x) for x in wl)))))
-        wp = np.zeros((NBATCH, nw), np.uint64)
-        for j, x in enumerate(wl):
-            wp[j, : len(x)] = x
+        flat, tw32 = _flat_tile_layout(wl)
         gl = np.stack([np.frombuffer(i.index, dtype="<u2").astype(np.int32)
                        for i in infos])
-        nblocks = (h // 4) * (w // 4)
+        R = _flat_window_R(gl, tw32, 8)
         dk = _batch_decode_kernel(NBATCH, nblocks, nb, h, w, HILBERT,
                                   tuple(infos[0].cband), mode != Mode.FTL,
-                                  "uint8", nw)
-        dwp, dgl = jax.device_put(jnp.asarray(wp)), jax.device_put(jnp.asarray(gl))
+                                  "uint8", flat.size, R, tw32)
+        dwp = jax.device_put(jnp.asarray(flat.reshape(-1)))
+        dgl = jax.device_put(jnp.asarray(gl.reshape(-1)))
         out = dk(dwp, dgl)
         assert (np.asarray(out) == tiles).all(), label
         t_dec = sustained(lambda: dk(dwp, dgl)) / NBATCH
@@ -144,36 +150,54 @@ def rate_study(args):
         print(f"  {label}: enc {rates[label][0]:.0f} dec {rates[label][1]:.0f} MB/s",
               flush=True)
 
-    # BEST: the batched serving path (vmapped kernels + ib-sidecar decode)
-    from qb3_tpu.api import _parse_best_sidecar, _window_R_from_pos
-    from qb3_tpu.batch import (_batch_best_decode_kernel, _batch_best_kernel,
-                               encode_tiles)
-
-    bk = _batch_best_kernel(NBATCH, (h, w, nb), "uint8", HILBERT, (1, 1, 1),
-                            n_words)
-    dt = jax.device_put(jnp.asarray(tiles))
-    t_enc = sustained(lambda: bk(dt)) / NBATCH
-    streams = encode_tiles(tiles, mode=Mode.CF_H, index=True)
+    # FTL self-contained (ic) decode: the honest no-19%-sidecar rate
+    streams = encode_tiles(tiles, mode=Mode.FTL, index="ic")
     infos = [container.parse_headers(s) for s in streams]
     wl = [payload_words(s[i.data_offset:]) for s, i in zip(streams, infos)]
-    nw = 1 << max(4, int(np.ceil(np.log2(max(len(x) for x in wl)))))
-    wp = np.zeros((NBATCH, nw), np.uint64)
-    for j, x in enumerate(wl):
-        wp[j, : len(x)] = x
-    nblocks = (h // 4) * (w // 4)
-    metas = [_parse_best_sidecar(i.index_best, nblocks * nb) for i in infos]
-    kind = np.stack([m[0] for m in metas])
-    val_pos = np.stack([m[1] for m in metas])
-    vrung = np.stack([m[2] for m in metas])
-    cf = np.stack([m[3] for m in metas])
-    R = max(_window_R_from_pos(v, 8) for v in val_pos)
-    dk = _batch_best_decode_kernel(NBATCH, nblocks, nb, h, w, HILBERT,
-                                   tuple(infos[0].cband), "uint8", nw, R)
+    flat, tw32 = _flat_tile_layout(wl)
+    metas = [parse_ic(i.index_chunked, nblocks, nb) for i in infos]
+    kb = metas[0][0]
+    tbase = (np.arange(NBATCH, dtype=np.int64) * tw32 * 32)[:, None]
+    bstarts = (np.stack([m[1] for m in metas]) + tbase).reshape(-1)
+    bentry = np.concatenate([m[2] for m in metas])
+    bspans = np.concatenate([np.diff(np.append(m[1], m[3])) for m in metas])
+    maxw, Ric = _ic_static_params_flat(bstarts, bspans, np.uint8)
+    dkc = _batch_decode_kernel_chunked(NBATCH, nblocks, nb, h, w, HILBERT,
+                                       tuple(infos[0].cband), False, "uint8",
+                                       flat.size, kb, maxw, Ric)
+    dwp = jax.device_put(jnp.asarray(flat.reshape(-1)))
+    dst = jax.device_put(jnp.asarray(bstarts.astype(np.int32)))
+    den = jax.device_put(jnp.asarray(bentry))
+    out = dkc(dwp, dst, den)
+    assert (np.asarray(out) == tiles).all(), "ic"
+    t_ic = sustained(lambda: dkc(dwp, dst, den)) / NBATCH
+    rates["ftl_selfcontained_dec"] = raw_mb / t_ic
+    print(f"  ftl ic decode: {raw_mb/t_ic:.0f} MB/s", flush=True)
+
+    # BEST: queued single dispatches (see batch._batch_best_kernel notes)
+    img = tiles[0]
+    bk = _best_kernel((h, w, nb), "uint8", HILBERT, (1, 1, 1), n_words)
+    dimg = jax.device_put(jnp.asarray(img))
+    bargs = (dimg, jnp.zeros(nb, jnp.uint8), jnp.zeros(nb, jnp.int32),
+             jnp.zeros(nb, jnp.uint8))
+    t_enc = sustained(lambda: bk(*bargs))
+    sbest = qb3_tpu.encode(img, mode=Mode.CF_H, index=True)
+    info = container.parse_headers(sbest)
+    words = payload_words(sbest[info.data_offset:])
+    nw = 1 << max(4, int(np.ceil(np.log2(len(words)))))
+    wp = np.zeros(nw, np.uint64)
+    wp[: len(words)] = words
+    kind, val_pos, vrung, cf = _parse_best_sidecar(info.index_best,
+                                                   nblocks * nb)
+    Rb = _window_R_from_pos(val_pos, 8)
+    dk = _decode_kernel(nblocks, nb, h, w, HILBERT, tuple(info.cband), True,
+                        "uint8", nw, Rb)
     dargs = (jax.device_put(jnp.asarray(wp)), jnp.asarray(kind),
-             jnp.asarray(val_pos), jnp.asarray(vrung), jnp.asarray(cf))
+             jnp.asarray(val_pos), jnp.asarray(vrung), jnp.asarray(cf),
+             jnp.zeros(nb, dtype=jnp.uint64))
     out = dk(*dargs)
-    assert (np.asarray(out) == tiles).all()
-    t_dec = sustained(lambda: dk(*dargs)) / NBATCH
+    assert (np.asarray(out[0]) == img).all()
+    t_dec = sustained(lambda: dk(*dargs))
     rates["best"] = (raw_mb / t_enc, raw_mb / t_dec)
     print(f"  best: enc {rates['best'][0]:.0f} dec {rates['best'][1]:.0f} MB/s",
           flush=True)
@@ -245,9 +269,14 @@ reference rates there: FTL 397.76 / BASE 327.44 / BEST 160.93 MB/s encode,
 
 QB3 streams are byte-identical to the reference implementation's, so the
 size columns equal the reference codec's on this corpus by construction.
-Device rates are batched (32 tiles/dispatch for FTL/BASE; single dispatch
-for BEST) on {(rates or {{}}).get('backend', jax.default_backend())}; each dispatch pays ~1.2 ms of relay
-latency in this environment, which production TPU hosts do not have.
+Device rates are batched (32 tiles/dispatch for FTL/BASE; BEST runs as
+queued single dispatches — see batch._batch_best_kernel) on
+{(rates or {{}}).get('backend', jax.default_backend())}, timed with the honest device-side barrier
+(qb3_tpu/benchutil.py; pre-round-3 studies used a broken barrier and are
+void). FTL decode via the self-contained "ic" sidecar (2.1% overhead)
+measures {(rates or {{}}).get('ftl_selfcontained_dec', 0):.0f} MB/s — the 19%-sidecar ix figure is in the
+table. Each dispatch pays ~1.2 ms of relay latency in this environment,
+which production TPU hosts do not have.
 Per-image sizes: sizes.csv. Reference published numbers: ../BASELINE.md.
 """
     with open(os.path.join(args.out, "REPORT.md"), "w") as f:
