@@ -201,11 +201,11 @@ def pack_groups_auto(codes, lens, n_words: int, max_group_bits: int):
     on_tpu = _jax.default_backend() == "tpu"
     if on_tpu and os.environ.get("QB3_PACK") == "onehot":
         return pack_groups_onehot(codes, lens, n_words, max_group_bits)
-    if on_tpu and max_group_bits > 400 \
-            and os.environ.get("QB3_PACK") not in ("scatter", "pallas"):
-        # wide types: the fused fold+place kernel (slab stays in VMEM, MXU
-        # one-hot placement) — the separate fold re-reads S symbol streams
-        # W times and is HBM-bound at u32/u64 widths
+    if on_tpu and os.environ.get("QB3_PACK") not in ("scatter", "pallas"):
+        # the fused fold+place kernel (slab stays in VMEM, MXU one-hot
+        # placement) wins at every width (round 4: u8 218 -> 244 single /
+        # 1093 -> 1410 MB/s batch-128, u16 414 -> 608, u64 unchanged) —
+        # the separate fold re-reads S symbol streams W times through HBM
         from .pack_pallas import pack_groups_chunked
 
         return pack_groups_chunked(codes, lens, n_words, max_group_bits)
