@@ -82,6 +82,7 @@ def mode_matrix(save):
         ("base-u8", Mode.BASE_H, np.uint8, 1, 512, 512, 3),
         ("best-u8", Mode.CF_H, np.uint8, 1, 512, 512, 3),
         ("ftl-u16", Mode.FTL, np.uint16, 257, 1024, 1024, 1),
+        ("ftl-u16-selfcontained", Mode.FTL, np.uint16, 257, 1024, 1024, 1),
         ("ftl-u16x8-landsat", Mode.FTL, np.uint16, 257, 512, 512, 8),
         ("ftl-u64", Mode.FTL, np.uint64, 1 << 40, 1024, 1024, 1),
     ]

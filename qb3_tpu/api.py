@@ -483,7 +483,7 @@ def _ic_static_params(starts: np.ndarray, total: int, uns_dt):
 def _ic_static_params_flat(starts: np.ndarray, spans: np.ndarray, uns_dt):
     """_ic_static_params over an explicit span list (the flat multi-tile
     layout has inter-tile gaps, so spans != diff(starts))."""
-    if np.dtype(uns_dt).itemsize != 1 or jax.default_backend() != "tpu":
+    if np.dtype(uns_dt).itemsize > 2 or jax.default_backend() != "tpu":
         return None, None
     from .ops.chunkwalk_pallas import ic_maxw, ic_window_R
 

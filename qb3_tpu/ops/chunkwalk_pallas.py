@@ -30,15 +30,23 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ..constants import B2
-from .wavefront_pallas import _vlc32
+from .wavefront_pallas import _vlc32, _vlc32w
 
 srl = jax.lax.shift_right_logical
 
 
-def _chunkwalk8_kernel(MAXW: int, K: int, NB: int, G8: int, apply_step: bool):
-    """One grid step walks G8*128 chunks through all K*NB groups."""
+def _chunkwalk8_kernel(MAXW: int, K: int, NB: int, G8: int, apply_step: bool,
+                       ubits: int = 3):
+    """One grid step walks G8*128 chunks through all K*NB groups.
+
+    ubits selects the lane width: 3 = u8 (codes <= 9 bits, 3 values per
+    <= 27-bit macro step), 4 = u16 (codes <= 17 bits, 1 value per step —
+    still a 2-lane 64-bit accumulator, just a tighter refill threshold)."""
     n_groups = K * NB
-    takes = np.minimum(3, B2 - np.arange(0, B2, 3))  # [3,3,3,3,3,1]
+    per = 3 if ubits == 3 else 1
+    need_bits = 27 if ubits == 3 else 17
+    nmask = (1 << ubits) - 1
+    takes = np.minimum(per, B2 - np.arange(0, B2, per))
 
     def kernel(win_ref, phase_ref, rung0_ref, out_ref, rungs_ref):
         # per-band runbits state lives in scratch so the group loop can
@@ -54,8 +62,8 @@ def _chunkwalk8_kernel(MAXW: int, K: int, NB: int, G8: int, apply_step: bool):
             return jnp.sum(jnp.where(m, win_ref[...], 0), axis=0)
 
         def refill(alo, ahi, navail, k):
-            """Top up the 64-bit accumulator to >= 27 valid bits."""
-            need = navail < 27
+            """Top up the 64-bit accumulator to >= need_bits valid bits."""
+            need = navail < need_bits
             fl = jnp.where(need, fetch(k), 0)
             sa = jnp.where(need, navail, 0)  # in [0, 26] when need
             alo = alo | (fl << sa)
@@ -89,22 +97,26 @@ def _chunkwalk8_kernel(MAXW: int, K: int, NB: int, G8: int, apply_step: bool):
             rung = rungs_ref[band]
             alo, ahi, navail, k = refill(alo, ahi, navail, k)
 
-            # ---- codeswitch (QB3decode.h:613-618), ubits=3 arithmetic dsw
+            # ---- codeswitch (QB3decode.h:613-618), arithmetic dsw
+            r = ubits - 1
+            rb = 1 << r
+            vm = rb - 1
             w = alo
             has_cs = (w & 1) == 1
             w1 = srl(w, 1)
             short = (w1 & 1) == 0
             n = srl(w1, 1) & 1
-            v = jnp.where(short, srl(w1 & 3, 1),
-                          jnp.where(n == 0, (srl(w1, 2) & 3) | 2,
-                                    (srl(w1, 2) & 3) | 4))
-            dlen = jnp.where(short, 2, 3 + n) + 1
+            v = jnp.where(short, srl(w1 & vm, 1),
+                          jnp.where(n == 0, (srl(w1, 2) & vm) | srl(rb, 1),
+                                    (srl(w1, 2) & vm) | rb))
+            dlen = jnp.where(short, r, r + 1 + n) + 1
             mag = srl(v, 1)
             neg = (v & 1) == 1
-            ddelta = jnp.where(neg, (-(mag + 1)) & 7, (mag + 1) & 3)
+            ddelta = jnp.where(neg, (-(mag + 1)) & nmask,
+                               (mag + 1) & (nmask >> 1))
             cs_len = jnp.where(has_cs, dlen, 1)
             delta = jnp.where(has_cs, ddelta, 0)
-            rung = (rung + delta) & 7
+            rung = (rung + delta) & nmask
             rungs_ref[band] = rung
             rung0 = rung == 0
             flag = srl(w, cs_len) & 1
@@ -122,7 +134,7 @@ def _chunkwalk8_kernel(MAXW: int, K: int, NB: int, G8: int, apply_step: bool):
                     snz = shift != 0
                     ww = jnp.where(snz, srl(alo, shift)
                                    | (ahi << ((32 - shift) & 31)), alo)
-                    gv, gl = _vlc32(ww, rung)
+                    gv, gl = (_vlc32 if ubits == 3 else _vlc32w)(ww, rung)
                     v = jnp.where(isg, gv, jnp.where(isb, ww & 1, 0))
                     ln = jnp.where(isg, gl, jnp.where(isb, 1, 0))
                     vals.append(v)
@@ -150,11 +162,12 @@ def _chunkwalk8_kernel(MAXW: int, K: int, NB: int, G8: int, apply_step: bool):
 
 
 @functools.partial(jax.jit, static_argnames=(
-    "MAXW", "K", "NB", "apply_step", "G_BLK", "R", "interpret"))
+    "MAXW", "K", "NB", "apply_step", "G_BLK", "R", "interpret", "ubits"))
 def chunkwalk8(words64, starts, entry_rungs, MAXW: int, K: int, NB: int,
                apply_step: bool, G_BLK: int = 1024, R: int | None = None,
-               interpret: bool = False):
-    """Chunk-parallel u8 walk -> (nchunks, K, NB, B2) uint32 mag-sign values.
+               interpret: bool = False, ubits: int = 3):
+    """Chunk-parallel u8/u16 walk -> (nchunks, K, NB, B2) uint32 mag-sign
+    values (ubits 3 = u8 lanes, 4 = u16 lanes).
 
     words64: padded stream words; starts (nchunks,) i32 absolute bit offsets;
     entry_rungs (nchunks, NB) i32 runbits at each chunk entry.  MAXW covers
@@ -194,7 +207,7 @@ def chunkwalk8(words64, starts, entry_rungs, MAXW: int, K: int, NB: int,
     nrows = K * NB * B2
     with jax.enable_x64(False):
         out = pl.pallas_call(
-            _chunkwalk8_kernel(MAXW, K, NB, G8, apply_step),
+            _chunkwalk8_kernel(MAXW, K, NB, G8, apply_step, ubits),
             grid=(n_tiles,),
             in_specs=[
                 pl.BlockSpec((MAXW, G8, 128), lambda t: (0, t, 0),

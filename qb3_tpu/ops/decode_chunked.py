@@ -103,13 +103,14 @@ def decode_chunked_auto(words64, starts, entry_rungs, k_blocks: int,
     """Dispatch the chunk walk: fused Pallas VMEM kernel for u8 on TPU
     (chunkwalk_pallas.py), else the XLA select-chain walk below.  The choice
     is an explicit cache-key parameter (not a live env read)."""
-    if (use_pallas and tbits == 8 and maxw is not None
+    if (use_pallas and tbits in (8, 16) and maxw is not None
             and _WAVE_ENV != "xla"):
         from .chunkwalk_pallas import chunkwalk8
 
         nchunks = starts.shape[0]
         g = chunkwalk8(words64, starts, entry_rungs, maxw, k_blocks, nbands,
-                       apply_step, R=R, interpret=interpret)
+                       apply_step, R=R, interpret=interpret,
+                       ubits=3 if tbits == 8 else 4)
         return g.reshape(nchunks * k_blocks, nbands, B2)[:nblocks].reshape(
             nblocks * nbands, B2)
     return decode_chunked(words64, starts, entry_rungs, k_blocks, nblocks,

@@ -125,11 +125,13 @@ def _pallas_walk_case(img, mode, k=8):
     maxw = ic_maxw(spans)
     sj = jnp.asarray(starts.astype(np.int32))
     ej = jnp.asarray(entry)
+    tbits = img.dtype.itemsize * 8
     ref = np.asarray(decode_chunked(words, sj, ej, kk, nblocks, nb,
-                                    mode != Mode.FTL, 8))
+                                    mode != Mode.FTL, tbits))
     got = np.asarray(chunkwalk8(words, sj, ej, maxw, kk, nb,
                                 mode != Mode.FTL, G_BLK=128, interpret=True,
-                                R=ic_window_R(starts, maxw)))
+                                R=ic_window_R(starts, maxw),
+                                ubits=3 if tbits == 8 else 4))
     got = got.reshape(-1, nb, 16)[:nblocks].reshape(nblocks * nb, 16)
     np.testing.assert_array_equal(got, ref)
 
@@ -137,6 +139,13 @@ def _pallas_walk_case(img, mode, k=8):
 @pytest.mark.parametrize("mode", [Mode.FTL, Mode.BASE_H, Mode.BASE_Z])
 def test_pallas_walk_modes(mode):
     _pallas_walk_case(corpus.natural8(64, 48, 3, seed=90), mode)
+
+
+@pytest.mark.parametrize("mode,mult", [
+    (Mode.FTL, 257), (Mode.BASE_H, 300), (Mode.FTL, 65535)])
+def test_pallas_walk_u16(mode, mult):
+    img = corpus.to_type(corpus.natural8(64, 48, 2, seed=92), np.uint16, mult)
+    _pallas_walk_case(img, mode)
 
 
 def test_pallas_walk_high_rungs():
