@@ -239,10 +239,14 @@ def pipelined_rows(save):
     t0 = time.perf_counter()
     list(decode_tiles_pipelined(iter(streams)))
     t_dec = time.perf_counter() - t0
+    plain = len(qb3_tpu.encode(batches[0][0], mode=qb3_tpu.Mode.FTL))
+    with_ic = len(streams[0][0])
     save({"case": "host-to-host-pipelined-u8",
           "encode_MBps": round(raw_mb / t_enc, 1),
           "decode_MBps": round(raw_mb / t_dec, 1),
-          "ratio_pct": None, "sidecar_pct": 2.14, "oracle_exact": True})
+          "ratio_pct": None,
+          "sidecar_pct": round(100 * (with_ic - plain) / plain, 2),
+          "oracle_exact": True})
 
 
 def main():

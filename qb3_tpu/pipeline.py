@@ -135,9 +135,10 @@ def decode_tiles_pipelined(stream_batches):
     from . import container
     from .api import (NP_FROM_DT, UNSIGNED, _ic_static_params_flat,
                       _parse_best_sidecar, _window_R_from_pos)
-    from .batch import (_batch_decode_kernel, _batch_decode_kernel_chunked,
-                        _flat_tile_layout, _flat_window_R)
-    from .constants import B, DType, HILBERT
+    from .batch import (_batch_best_decode_kernel, _batch_decode_kernel,
+                        _batch_decode_kernel_chunked, _flat_tile_layout,
+                        _flat_window_R)
+    from .constants import B, DType, HILBERT, Mode
     from .errors import QB3ShapeError
     from .ops.decode import payload_words
     from .ops.decode_chunked import parse_ic
@@ -147,7 +148,17 @@ def decode_tiles_pipelined(stream_batches):
     for streams in stream_batches:
         infos = [container.parse_headers(s) for s in streams]
         i0 = infos[0]
+        if any((i.xsize, i.ysize, i.nbands, i.dtype, i.mode) !=
+               (i0.xsize, i0.ysize, i0.nbands, i0.dtype, i0.mode)
+               for i in infos):
+            raise QB3ShapeError("pipelined decode requires same-shape streams")
+        best = all(i.index_best is not None for i in infos)
+        chunked = all(i.index_chunked is not None for i in infos)
+        if not best and not chunked and any(i.index is None for i in infos):
+            raise QB3ShapeError("pipelined decode needs an ix, ic or ib sidecar")
         h, w, nb = i0.ysize, i0.xsize, i0.nbands
+        if h % B != 0 or w % B != 0:
+            raise QB3ShapeError("pipelined decode requires 4-aligned tiles")
         np_dt = NP_FROM_DT[DType(i0.dtype)]
         uns_dt = UNSIGNED[np.dtype(np_dt).itemsize]
         nblocks = (h // B) * (w // B)
@@ -160,8 +171,27 @@ def decode_tiles_pipelined(stream_batches):
             raise QB3ShapeError("batch exceeds the 2^31-bit flat-decode limit")
         tb = np.dtype(uns_dt).itemsize * 8
         dwp = jax.device_put(jnp.asarray(flat.reshape(-1)))
-        if all(i.index_chunked is not None for i in infos):
+        if best:
+            metas = [_parse_best_sidecar(i.index_best, nblocks * nb)
+                     for i in infos]
+            if any(m is None for m in metas):
+                raise QB3ShapeError("inconsistent ib sidecar")
+            tbase = (np.arange(n, dtype=np.int64) * tw32 * 32)[:, None]
+            kind = np.stack([m[0] for m in metas]).reshape(-1)
+            val_pos = (np.stack([m[1] for m in metas]) + tbase).reshape(-1)
+            vrung = np.stack([m[2] for m in metas]).reshape(-1)
+            cf = np.stack([m[3] for m in metas]).reshape(-1)
+            R = _window_R_from_pos(val_pos, tb) if tb <= 16 else None
+            kern = _batch_best_decode_kernel(
+                n, nblocks, nb, h, w, order, tuple(i0.cband),
+                np.dtype(uns_dt).name, flat.size, R)
+            out = kern(dwp, jnp.asarray(kind), jnp.asarray(val_pos),
+                       jnp.asarray(vrung), jnp.asarray(cf))
+        elif chunked:
             metas = [parse_ic(i.index_chunked, nblocks, nb) for i in infos]
+            if any(m is None for m in metas) or \
+                    any(m[0] != metas[0][0] for m in metas):
+                raise QB3ShapeError("inconsistent ic sidecar")
             k = metas[0][0]
             tbase = (np.arange(n, dtype=np.int64) * tw32 * 32)[:, None]
             starts = (np.stack([m[1] for m in metas]) + tbase).reshape(-1)

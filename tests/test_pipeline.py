@@ -56,3 +56,38 @@ def test_fetch_cap_fallback():
         for s, t in zip(streams, tiles):
             dec, _ = qb3_tpu.decode(s)
             np.testing.assert_array_equal(dec.reshape(t.shape), t)
+
+
+def test_roundtrip_pipelined_ib():
+    """Best-mode streams with the ib sidecar flow through the pipelined
+    decoder (ADVICE r4: the branch existed only in batch.decode_tiles)."""
+    from qb3_tpu.batch import encode_tiles
+
+    batches = [[corpus.natural8(64, 64, 3, seed=90 + 10 * b + i)
+                for i in range(3)] for b in range(2)]
+    streams = [encode_tiles(np.stack(tiles), mode=Mode.CF_H, index=True)
+               for tiles in batches]
+    decs = list(decode_tiles_pipelined(iter(streams)))
+    for d, tiles in zip(decs, batches):
+        np.testing.assert_array_equal(d, np.stack(tiles))
+
+
+def test_pipelined_rejects_mixed_shapes():
+    import pytest
+
+    from qb3_tpu.errors import QB3ShapeError
+
+    a = qb3_tpu.encode(corpus.natural8(64, 64, 3, seed=1), index=True)
+    b = qb3_tpu.encode(corpus.natural8(32, 64, 3, seed=2), index=True)
+    with pytest.raises(QB3ShapeError):
+        list(decode_tiles_pipelined(iter([[a, b]])))
+
+
+def test_pipelined_rejects_missing_sidecar():
+    import pytest
+
+    from qb3_tpu.errors import QB3ShapeError
+
+    s = qb3_tpu.encode(corpus.natural8(64, 64, 3, seed=3))  # no sidecar
+    with pytest.raises(QB3ShapeError):
+        list(decode_tiles_pipelined(iter([[s]])))
