@@ -217,6 +217,27 @@ def foreign_row(save):
           "ratio_pct": round(100 * len(ref_stream) / img.nbytes, 2),
           "sidecar_pct": 0.0, "oracle_exact": True})
 
+    # bulk serving path (qb3_tpu/foreign.py): thread-parallel native walks
+    # + one batched device dispatch per batch, pipelined across batches
+    from qb3_tpu.foreign import decode_streams_pipelined
+
+    NT, NBATCH = 24, 4
+    imgs = [[natural_image(512, 512, 3, seed=200 + 50 * b + i)
+             for i in range(NT)] for b in range(NBATCH)]
+    batches = [[refqb3.ref_encode(im, mode=8) for im in bi] for bi in imgs]
+    bulk_mb = sum(im.nbytes for bi in imgs for im in bi) / 1e6
+    decs = list(decode_streams_pipelined(iter(batches)))  # warm + check
+    ok = all(np.array_equal(d[i], bi[i]) for d, bi in zip(decs, imgs)
+             for i in range(NT))
+    t0 = time.perf_counter()
+    list(decode_streams_pipelined(iter(batches)))
+    tbulk = time.perf_counter() - t0
+    save({"case": "foreign-stream-u8-bulk", "encode_MBps": None,
+          "decode_MBps": round(bulk_mb / tbulk, 1),
+          "ref_decode_local_MBps": round(raw_mb / tr, 1),
+          "ratio_pct": round(100 * len(ref_stream) / img.nbytes, 2),
+          "sidecar_pct": 0.0, "oracle_exact": bool(ok)})
+
 
 def pipelined_rows(save):
     """Host-to-host serving rates through qb3_tpu/pipeline.py (bytes in

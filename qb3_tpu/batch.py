@@ -102,7 +102,7 @@ def _batch_best_kernel(n, shape, npdtype, order, cband, n_words):
 
 @functools.lru_cache(maxsize=32)
 def _batch_best_decode_kernel(n, nblocks, nbands, h, w, order, cband,
-                              npdtype, n_words, R=None):
+                              npdtype, n_words, R=None, apply_step=True):
     """Flat multi-tile best-mode decode: val_pos already carries per-tile
     word bases, so one decode_groups_fused pass covers the whole batch."""
     from .ops.decode import decode_groups_fused, reconstruct_batch
@@ -111,8 +111,9 @@ def _batch_best_decode_kernel(n, nblocks, nbands, h, w, order, cband,
     tbits = out_dtype.itemsize * 8
 
     def run(words64_flat, kind, val_pos, vrung, cf):
-        g = decode_groups_fused(words64_flat, kind, val_pos, vrung, cf, True,
-                                tbits, jax.default_backend() == "tpu", R)
+        g = decode_groups_fused(words64_flat, kind, val_pos, vrung, cf,
+                                apply_step, tbits,
+                                jax.default_backend() == "tpu", R)
         g = g.reshape(n, nblocks, nbands, B2)
         return reconstruct_batch(g, h, w, nbands, order, cband, out_dtype)
 
