@@ -439,6 +439,16 @@ def _indexed_nreg(glens: np.ndarray, tbits: int) -> int:
     return min(_NREG_IX[tbits], max(4, -(-need // 4) * 4))
 
 
+def _fused_ix_params(glens: np.ndarray, tbits: int):
+    """Static params for the fused window-build walk (fusedwin_pallas), or
+    None off-TPU / for empty sidecars."""
+    if glens.size == 0 or jax.default_backend() != "tpu":
+        return None
+    from .ops.fusedwin_pallas import fused_params
+
+    return fused_params(glens, tbits)
+
+
 def _indexed_window_R(glens: np.ndarray, tbits: int, G: int = 128) -> int:
     """Window word count for the register gather (ops/gather.py), from the
     actual per-tile spans in the sidecar (bucketed to limit recompiles)."""
@@ -452,7 +462,7 @@ def _indexed_window_R(glens: np.ndarray, tbits: int, G: int = 128) -> int:
 
 @functools.lru_cache(maxsize=64)
 def _decode_kernel_indexed(nblocks, nbands, h, w, order, cband, apply_step, npdtype, n_words,
-                           R=None, nreg=None):
+                           R=None, nreg=None, fused=None):
     from .constants import ubits_for
     from .ops.decode import reconstruct
 
@@ -465,7 +475,7 @@ def _decode_kernel_indexed(nblocks, nbands, h, w, order, cband, apply_step, npdt
         g = decode_indexed_narrow(words64, glens, nblocks, nbands,
                                   apply_step,
                                   jax.default_backend() == "tpu", tbits, R,
-                                  nreg=nreg)
+                                  nreg=nreg, fused=fused)
         g = g.reshape(nblocks, nbands, B2)
         img, exit_prev = reconstruct(g, entry_prev, h, w, nbands, order, cband, out_dtype)
         return img, exit_prev
@@ -665,7 +675,7 @@ class Decoder:
             kern = _decode_kernel_indexed(
                 nblocks, nb, h, w, order, tuple(info.cband),
                 info.mode != Mode.FTL, np.dtype(uns_dt).name, n_words, R,
-                _indexed_nreg(glens, tb))
+                _indexed_nreg(glens, tb), _fused_ix_params(glens, tb))
             img, _ = kern(jnp.asarray(wpad), jnp.asarray(glens),
                           jnp.zeros(nb, dtype=jnp.uint64))
             self.decode_path = "ix"

@@ -146,7 +146,8 @@ def _batch_decode_kernel_chunked(n, nblocks, nbands, h, w, order, cband,
 
 @functools.lru_cache(maxsize=32)
 def _batch_decode_kernel(n, nblocks, nbands, h, w, order, cband, apply_step,
-                         npdtype, n_words, R=None, tile_words32=0, nreg=None):
+                         npdtype, n_words, R=None, tile_words32=0, nreg=None,
+                         fused=None):
     """Flat multi-tile indexed decode: one gather + wavefront over the
     concatenated batch (ntiles * nblocks * nbands groups).  vmapping the
     single-tile kernel instead serializes the gather (measured 41 MB/s/tile
@@ -160,7 +161,8 @@ def _batch_decode_kernel(n, nblocks, nbands, h, w, order, cband, apply_step,
         g = decode_indexed_narrow(words64_flat, glens_flat, nblocks, nbands,
                                   apply_step, jax.default_backend() == "tpu",
                                   tbits, R, ntiles=n,
-                                  tile_words32=tile_words32, nreg=nreg)
+                                  tile_words32=tile_words32, nreg=nreg,
+                                  fused=fused)
         g = g.reshape(n, nblocks, nbands, B2)
         return reconstruct_batch(g, h, w, nbands, order, cband, out_dtype)
 
@@ -176,6 +178,19 @@ def _flat_tile_layout(wlists):
     for j, x in enumerate(wlists):
         flat[j, : len(x)] = x
     return flat, tw64 * 2
+
+
+def _flat_fused_params(glens2d: np.ndarray, tile_words32: int, tbits: int):
+    """fusedwin_pallas static params over the flat layout, or None off-TPU."""
+    if jax.default_backend() != "tpu" or glens2d.size == 0:
+        return None
+    from .ops.fusedwin_pallas import fused_params_from_offsets
+
+    n = glens2d.shape[0]
+    ends = np.cumsum(glens2d.astype(np.int64), axis=1)
+    tbase = (np.arange(n, dtype=np.int64) * tile_words32 * 32)[:, None]
+    goff = (ends - glens2d + tbase).reshape(-1)
+    return fused_params_from_offsets(goff, int(glens2d.max(initial=0)), tbits)
 
 
 def _flat_window_R(glens2d: np.ndarray, tile_words32: int, tbits: int,
@@ -334,7 +349,8 @@ def decode_tiles(streams: list[bytes]) -> np.ndarray:
     kern = _batch_decode_kernel(n, nblocks, nb, h, w, order,
                                 tuple(i0.cband), i0.mode != Mode.FTL,
                                 np.dtype(uns_dt).name, n_words, R,
-                                tile_words32, _indexed_nreg(glens, tb))
+                                tile_words32, _indexed_nreg(glens, tb),
+                                _flat_fused_params(glens, tile_words32, tb))
     out = np.asarray(kern(jnp.asarray(flat.reshape(-1)),
                           jnp.asarray(glens.reshape(-1))))
     return out.view(np_dt)

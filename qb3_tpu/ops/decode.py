@@ -132,7 +132,8 @@ _GMAX_IX = {8: 150, 16: 280, 32: 540, 64: 1056}
 def decode_indexed_narrow(words64, glens, nblocks: int, nbands: int,
                           apply_step: bool, use_pallas: bool, tbits: int = 8,
                           R: int | None = None, ntiles: int = 1,
-                          tile_words32: int = 0, nreg: int | None = None):
+                          tile_words32: int = 0, nreg: int | None = None,
+                          fused: tuple[int, int, int] | None = None):
     """Fused sidecar-indexed decode, all element widths.
 
     One MXU one-hot gather per group loads its register window; the
@@ -163,13 +164,89 @@ def decode_indexed_narrow(words64, glens, nblocks: int, nbands: int,
         goff = (ends2 - g2 + tbase[:, None]).reshape(-1)
     base = (goff >> 5).astype(jnp.int32)
     off0 = (goff & 31).astype(jnp.int32)
+    words32 = jax.lax.bitcast_convert_type(words64, jnp.uint32).reshape(-1)
+
+    if use_pallas and fused is not None:
+        # fused window-build + walk kernel (fusedwin_pallas)
+        from .fusedwin_pallas import wavefront_fused
+
+        NREGW, R8, R8sub = fused
+        base8 = (goff >> 8).astype(jnp.int32)
+        G_BLK = 1024
+        padf = (-ngroups) % G_BLK
+        inkernel = (ntiles == 1 and nbands <= 16
+                    and (nbands & (nbands - 1)) == 0)
+        if inkernel:
+            # codeswitch parse + band-segmented rung chain run inside the
+            # kernel (grid steps are sequential, so the chain carries
+            # across tiles) — no pre-gather of any stream bits
+            ph = (goff & 255).astype(jnp.int32)
+            if padf:
+                zpadf = jnp.zeros(padf, jnp.int32)
+                base8 = jnp.concatenate(
+                    [base8, jnp.broadcast_to(base8[-1], (padf,))])
+                ph = jnp.concatenate([ph, zpadf])
+            dummy = jnp.zeros_like(ph)
+            g, rung = wavefront_fused(words32, base8, ph, dummy, dummy,
+                                      NREGW, tbits, R8, R8sub, G_BLK,
+                                      nbands=nbands)
+            g, rung = g[:ngroups], rung[:ngroups]
+            kind1 = rung != 0  # group-coded (flip only applies to these)
+        else:
+            # batch layout (per-tile rung resets): parse on XLA with a
+            # 2-word one-hot mini-gather
+            from .gather import gather_slabs_onehot8
+
+            G = 128
+            pad = (-ngroups) % G
+            basep = (jnp.concatenate(
+                [base, jnp.broadcast_to(base[-1], (pad,))]) if pad else base)
+            if R is None:
+                R = -(-((G * _GMAX_IX[tbits]) // 32 + 4 + 130) // 128) * 128
+            w2 = gather_slabs_onehot8(words32, basep, G, 2, R)[:ngroups]
+            sh = off0.astype(jnp.uint32)
+            w0 = jnp.where(sh == 0, w2[:, 0],
+                           (w2[:, 0] >> sh) | (w2[:, 1] << ((32 - sh) & 31)))
+            has_cs = (w0 & 1) == 1
+            dlen, ddelta = dsw_arith(w0 >> 1, ubits)
+            cs_len = jnp.where(has_cs, dlen, 1)
+            delta = jnp.where(has_cs, ddelta, 0)
+            rung = (jnp.cumsum(delta.reshape(ntiles, nblocks, nbands), axis=1)
+                    & nmask).reshape(-1)
+            rung0 = rung == 0
+            flag = ((w0 >> cs_len.astype(jnp.uint32)) & 1).astype(jnp.int32)
+            kind = jnp.where(rung0, jnp.where(flag == 1, 2, 0), 1)
+            off8 = ((goff & 255).astype(jnp.int32) + cs_len
+                    + jnp.where(rung0, 1, 0))
+            if padf:
+                zpadf = jnp.zeros(padf, jnp.int32)
+                base8 = jnp.concatenate(
+                    [base8, jnp.broadcast_to(base8[-1], (padf,))])
+                off8 = jnp.concatenate([off8, zpadf])
+                rung_p = jnp.concatenate([rung, zpadf])
+                kind_p = jnp.concatenate([kind, zpadf])
+            else:
+                rung_p, kind_p = rung, kind
+            g = wavefront_fused(words32, base8, off8, rung_p, kind_p, NREGW,
+                                tbits, R8, R8sub, G_BLK)[:ngroups]
+            kind1 = kind == 1
+        W_out = jnp.uint32 if tbits <= 16 else jnp.uint64
+        g = g.astype(W_out)
+        if apply_step:
+            match, ones = step_flip_index(g, rung)
+            lane = jnp.arange(B2, dtype=jnp.int32)
+            do = kind1 & match & (rung >= 1)
+            flip = (do[:, None] & (lane[None, :] == ones[:, None])
+                    & (ones[:, None] < B2))
+            g = g ^ (jnp.where(flip, 1, 0).astype(W_out)
+                     << rung[:, None].astype(W_out))
+        return g
 
     # adaptive register count: the format-worst window (36 words for u64)
     # prices the one-hot gather; the sidecar knows this stream's true max
     # group span, and typical u64 groups need ~24 words (api._indexed_nreg)
     NREG = nreg if nreg is not None else _NREG_IX[tbits]
     gmax = _GMAX_IX[tbits]
-    words32 = jax.lax.bitcast_convert_type(words64, jnp.uint32).reshape(-1)
     if use_pallas:
         # MXU one-hot gather (gather.py): ~4x the masked-sum Pallas kernel
         from .gather import gather_slabs_onehot8

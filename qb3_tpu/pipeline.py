@@ -206,13 +206,17 @@ def decode_tiles_pipelined(stream_batches):
             out = kern(dwp, jnp.asarray(starts.astype(np.int32)),
                        jnp.asarray(entry))
         else:
+            from .api import _indexed_nreg
+            from .batch import _flat_fused_params
+
             glens = np.stack([np.frombuffer(i.index, dtype="<u2")
                               .astype(np.int32) for i in infos])
             R = _flat_window_R(glens, tw32, tb)
             kern = _batch_decode_kernel(n, nblocks, nb, h, w, order,
                                         tuple(i0.cband), i0.mode != Mode.FTL,
                                         np.dtype(uns_dt).name, flat.size, R,
-                                        tw32)
+                                        tw32, _indexed_nreg(glens, tb),
+                                        _flat_fused_params(glens, tw32, tb))
             out = kern(dwp, jnp.asarray(glens.reshape(-1)))
         _to_host_async([out])
         if pending is not None:
