@@ -170,10 +170,11 @@ def _best_kernel(shape, npdtype, order, cband, n_words):
 
     def run(img, entry_prev, entry_runbits, entry_cf):
         (codes, lens, exit_prev, exit_runbits, exit_cf,
-         meta16, cfv) = encode_best_blocks(
+         meta16, cfv, post_run, pcf_in) = encode_best_blocks(
             img, entry_prev, entry_runbits, entry_cf, order, cband)
         words, total, glen = pack_groups_auto(codes, lens, n_words, maxbits)
-        return words, total, exit_prev, exit_runbits, exit_cf, glen, meta16, cfv
+        return (words, total, exit_prev, exit_runbits, exit_cf, glen, meta16,
+                cfv, post_run, pcf_in)
 
     return jax.jit(run)
 
@@ -209,6 +210,7 @@ class Encoder:
         self.index_chunk_blocks = 0  # 0 = IC_DEFAULT_K
         self._last_glens = None
         self._last_rungs = None
+        self._last_pcf = None
         self._last_best_meta = None
         self.reset()
 
@@ -304,11 +306,17 @@ class Encoder:
             uns = repack_small(uns)
 
         entry_runbits = self.band_runbits.copy()
+        entry_cf = self.band_cf.copy()
         payload, state = self._encode_payload(uns, mode)
         index, index_sig = None, b"ix"
         if self.with_index:
             if is_best_mode(mode):
-                index, index_sig = self._best_sidecar(), b"ib"
+                if self.with_index == "ic":
+                    index, index_sig = \
+                        self._chunked_sidecar_best(entry_runbits,
+                                                   entry_cf), b"ic"
+                if index is None:
+                    index, index_sig = self._best_sidecar(), b"ib"
             elif self.with_index == "ic":
                 index, index_sig = self._chunked_sidecar(entry_runbits), b"ic"
             else:
@@ -353,13 +361,16 @@ class Encoder:
         elif is_best_mode(mode):
             kern = _best_kernel((h, w, nb), uns.dtype.name, order,
                                 tuple(self.cband), n_words)
-            words, total, xprev, xrun, xcf, glen, meta16, cfv = kern(
+            (words, total, xprev, xrun, xcf, glen, meta16, cfv,
+             post_run, pcf_in) = kern(
                 jnp.asarray(uns),
                 jnp.asarray(self.band_prev.astype(uns.dtype)),
                 jnp.asarray(self.band_runbits),
                 jnp.asarray(self.band_cf.astype(uns.dtype)))
             state = (np.asarray(xprev), np.asarray(xrun), np.asarray(xcf))
             self._last_best_meta = (np.asarray(meta16), np.asarray(cfv))
+            self._last_rungs = np.asarray(post_run)
+            self._last_pcf = np.asarray(pcf_in)
         else:
             raise ValueError(f"unsupported mode {mode}")
         from .ops.bitpack import words_to_bytes
@@ -393,6 +404,28 @@ class Encoder:
         if int(spans.sum()) >= 1 << 31:
             return None  # int32 bit cursors in the device walk
         return pack_ic(spans, entry, k)
+
+    def _chunked_sidecar_best(self, entry_runbits: np.ndarray,
+                              entry_cf: np.ndarray) -> bytes | None:
+        """"ic" chunk payload for best-mode streams: spans + entry rungs +
+        entry pcf per band (decode_chunked.pack_ic_best).  None when a CF
+        exceeds 16 bits or the stream is too long for int32 cursors."""
+        from .ops.decode_chunked import (IC_DEFAULT_K, chunk_spans_best,
+                                         pack_ic_best)
+
+        k = self.index_chunk_blocks or IC_DEFAULT_K
+        nb = self.nbands
+        pieces = chunk_spans_best(
+            self._last_glens.astype(np.int64),
+            self._last_rungs.reshape(-1, nb),
+            self._last_pcf.reshape(-1, nb).astype(np.int64),
+            entry_runbits, entry_cf.astype(np.int64), k)
+        if pieces is None:
+            return None
+        spans, entry, pcf = pieces
+        if int(spans.sum()) >= 1 << 31:
+            return None
+        return pack_ic_best(spans, entry, pcf, k)
 
     def _commit_state(self, state):
         xprev, xrun, xcf = state
@@ -478,6 +511,26 @@ def _decode_kernel_indexed(nblocks, nbands, h, w, order, cband, apply_step, npdt
                                   nreg=nreg, fused=fused)
         g = g.reshape(nblocks, nbands, B2)
         img, exit_prev = reconstruct(g, entry_prev, h, w, nbands, order, cband, out_dtype)
+        return img, exit_prev
+
+    return jax.jit(run)
+
+
+@functools.lru_cache(maxsize=32)
+def _decode_kernel_chunked_best(nblocks, nbands, h, w, order, cband,
+                                npdtype, n_words, k_blocks):
+    from .ops.decode import reconstruct
+    from .ops.decode_chunked import decode_chunked_best
+
+    out_dtype = np.dtype(npdtype)
+    tbits = out_dtype.itemsize * 8
+
+    def run(words64, starts, entry_rungs, entry_pcf, entry_prev):
+        g = decode_chunked_best(words64, starts, entry_rungs, entry_pcf,
+                                k_blocks, nblocks, nbands, tbits)
+        g = g.reshape(nblocks, nbands, B2)
+        img, exit_prev = reconstruct(g, entry_prev, h, w, nbands, order,
+                                     cband, out_dtype)
         return img, exit_prev
 
     return jax.jit(run)
@@ -662,6 +715,22 @@ class Decoder:
                               jnp.zeros(nb, dtype=jnp.uint64))
                 self.decode_path = "ic"
                 return self._end_check(np.asarray(img), len(data) * 8 - total)
+
+        if info.index_chunked is not None and is_best_mode(info.mode):
+            from .ops.decode_chunked import parse_ic_best
+            meta = parse_ic_best(info.index_chunked, nblocks, nb)
+            if meta is not None:
+                k, starts, entry, pcf, total = meta
+                kern = _decode_kernel_chunked_best(
+                    nblocks, nb, h, w, order, tuple(info.cband),
+                    np.dtype(uns_dt).name, n_words, k)
+                img, _ = kern(jnp.asarray(wpad),
+                              jnp.asarray(starts.astype(np.int32)),
+                              jnp.asarray(entry), jnp.asarray(pcf),
+                              jnp.zeros(nb, dtype=jnp.uint64))
+                self.decode_path = "ic-best"
+                return self._end_check(np.asarray(img),
+                                       len(data) * 8 - total)
 
         glens = None
         if info.index is not None and is_fast_mode(info.mode):

@@ -92,7 +92,7 @@ def _batch_best_kernel(n, shape, npdtype, order, cband, n_words):
     def one(img):
         zp = jnp.zeros(nb, dtype=img.dtype)
         zr = jnp.zeros(nb, dtype=jnp.int32)
-        codes, lens, _, _, _, meta16, cfv = encode_best_blocks(
+        codes, lens, _, _, _, meta16, cfv, _, _ = encode_best_blocks(
             img, zp, zr, zp, order, cband)
         words, total, glen = pack_groups_auto(codes, lens, n_words, maxbits)
         return words, total, glen, meta16, cfv

@@ -92,6 +92,8 @@ def parse_offsets(payload: bytes, nblocks: int, nbands: int, tsize: int,
     vrung = np.zeros((nblocks, nbands), np.int32)
     cf_arr = np.zeros((nblocks, nbands), np.uint64)
     rung_arr = np.zeros((nblocks, nbands), np.int32)
+    pcf_in = np.zeros((nblocks, nbands), np.uint64)   # pcf BEFORE the block
+    block_start = np.zeros(nblocks, np.int64)         # bit pos of the block
 
     s = _Bits(payload)
     s.pos = start_bit  # streaming callers resume mid-payload
@@ -138,6 +140,8 @@ def parse_offsets(payload: bytes, nblocks: int, nbands: int, tsize: int,
     failed = False
     failed_group = -1
     for b in range(nblocks):
+        block_start[b] = s.pos
+        pcf_in[b] = pcf
         for c in range(nbands):
             if failed:
                 break
@@ -247,6 +251,7 @@ def parse_offsets(payload: bytes, nblocks: int, nbands: int, tsize: int,
         # best-effort partial output: remaining groups decode as zeros
         kind.reshape(-1)[failed_group + 1:] = KIND_ZERO
     return dict(kind=kind, val_pos=val_pos, vrung=vrung, cf=cf_arr, rung=rung_arr,
+                pcf_in=pcf_in, block_start=block_start,
                 end_pos=s.pos, failed=failed, failed_group=failed_group,
                 exit_runbits=np.array(runbits, np.int32),
                 exit_cf=np.array(pcf, np.uint64))

@@ -419,6 +419,12 @@ def encode_best_blocks(img, entry_prev, entry_runbits, entry_cf, order: int,
     meta16 = (kind.astype(jnp.int32) | (vrung_meta.astype(jnp.int32) << 3)
               | (prefix_len << 9))
     cfv = jnp.where(is_cf_grp, cfd["cfm"], 0)
+    # decoder-observable state chains, for the self-contained "ic" anchors:
+    # the decoder recomputes runbits after CF0 groups from the CF value
+    # (QB3decode.h:664 / offsets.py) — everywhere else they equal `rung`
+    cf0_run = topbit((2 * (cfd["cfm"] + W(2)) - 1) | W(1))
+    post_runbits = jnp.where(kind == KIND_CF0, cf0_run, rung)
     return (codes.reshape(-1, nsym), lens.reshape(-1, nsym),
             exit_prev, exit_runbits, exit_cf,
-            meta16.reshape(-1), cfv.reshape(-1))
+            meta16.reshape(-1), cfv.reshape(-1),
+            post_runbits, pcf_in)

@@ -91,7 +91,7 @@ def _shard_best_fn(order, cband, ubits, n_words, axis, maxbits):
 
         z = jnp.zeros(nbands, img_local.dtype)
         zr = jnp.zeros(nbands, jnp.int32)
-        codes, lens, _, _, _, meta16, cfv = encode_best_blocks(
+        codes, lens, _, _, _, meta16, cfv, _, _ = encode_best_blocks(
             img_local, z, zr, z, order, cband, cf_exchange=cf_exchange,
             prev_exchange=prev_exchange, rung_exchange=rung_exchange)
         nsym = codes.shape[-1]

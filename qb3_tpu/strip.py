@@ -126,7 +126,8 @@ class StripEncoder:
         elif is_best_mode(self.mode):
             kern = _best_kernel((h, w, nb), uns.dtype.name, order,
                                 tuple(e.cband), n_words)
-            words, total, xp, xr, xcf, glen, meta16, cfv = kern(
+            (words, total, xp, xr, xcf, glen, meta16, cfv,
+             _post_run, _pcf_in) = kern(
                 uns, e.band_prev.astype(uns.dtype), e.band_runbits,
                 e.band_cf.astype(uns.dtype))
             e.band_prev = np.asarray(xp).astype(np.uint64)
