@@ -81,9 +81,11 @@ def mode_matrix(save):
         ("ftl-u8-selfcontained", Mode.FTL, np.uint8, 1, 512, 512, 3),
         ("base-u8", Mode.BASE_H, np.uint8, 1, 512, 512, 3),
         ("best-u8", Mode.CF_H, np.uint8, 1, 512, 512, 3),
+        ("best-u8-selfcontained", Mode.CF_H, np.uint8, 1, 512, 512, 3),
         ("ftl-u16", Mode.FTL, np.uint16, 257, 1024, 1024, 1),
         ("ftl-u16-selfcontained", Mode.FTL, np.uint16, 257, 1024, 1024, 1),
         ("ftl-u16x8-landsat", Mode.FTL, np.uint16, 257, 512, 512, 8),
+        ("ftl-u32", Mode.FTL, np.uint32, 1 << 20, 1024, 1024, 1),
         ("ftl-u64", Mode.FTL, np.uint64, 1 << 40, 1024, 1024, 1),
     ]
     for name, mode, npdt, mult, h, w, nb in cases:
@@ -120,7 +122,10 @@ def mode_matrix(save):
         t_enc, s_enc = sustained_stats(lambda: ek(*args), 15)
 
         # device decode via the best applicable sidecar path
-        idx_kind = "ib" if mode == Mode.CF_H else ("ic" if selfcontained else True)
+        if mode == Mode.CF_H:
+            idx_kind = "ic" if selfcontained else "ib"
+        else:
+            idx_kind = "ic" if selfcontained else True
         sidx = qb3_tpu.encode(img, mode=mode, index=idx_kind)
         info = container.parse_headers(sidx)
         wordsv = payload_words(sidx[info.data_offset:])
@@ -130,7 +135,18 @@ def mode_matrix(save):
         dw = jax.device_put(jnp.asarray(wpad))
         zp = jnp.zeros(nb, dtype=jnp.uint64)
         tb = np.dtype(npdt).itemsize * 8
-        if mode == Mode.CF_H:
+        if mode == Mode.CF_H and selfcontained:
+            from qb3_tpu.api import _decode_kernel_chunked_best
+            from qb3_tpu.ops.decode_chunked import parse_ic_best
+
+            kb, starts, entry, pcf, _tot = parse_ic_best(
+                info.index_chunked, nblocks, nb)
+            dk = _decode_kernel_chunked_best(
+                nblocks, nb, h, w, order, tuple(info.cband),
+                np.dtype(npdt).name, nw, kb)
+            dargs = (dw, jnp.asarray(starts.astype(np.int32)),
+                     jnp.asarray(entry), jnp.asarray(pcf), zp)
+        elif mode == Mode.CF_H:
             kind, val_pos, vrung, cf = _parse_best_sidecar(
                 info.index_best, nblocks * nb)
             Rb = _window_R_from_pos(val_pos, tb) if tb <= 16 else None
@@ -237,6 +253,64 @@ def foreign_row(save):
           "ref_decode_local_MBps": round(raw_mb / tr, 1),
           "ratio_pct": round(100 * len(ref_stream) / img.nbytes, 2),
           "sidecar_pct": 0.0, "oracle_exact": bool(ok)})
+
+
+def wide_batch_row(save):
+    """Batched u64 throughput (8 x 1024x1024 tiles per dispatch): the bulk
+    shape for the >4 GB/s wide-type bar (doc/QB3.md:10-12)."""
+    import jax
+    import jax.numpy as jnp
+
+    import qb3_tpu
+    from qb3_tpu import container
+    from qb3_tpu.api import _indexed_nreg
+    from qb3_tpu.batch import (_batch_decode_kernel, _batch_encode_kernel,
+                               _flat_fused_params, _flat_tile_layout,
+                               _flat_window_R, encode_tiles)
+    from qb3_tpu.benchutil import sustained_stats
+    from qb3_tpu.constants import HILBERT, Mode
+    from qb3_tpu.ops.decode import payload_words
+
+    NB, h, w, nb = 8, 1024, 1024, 1
+    tiles = np.stack([
+        natural_image(h, w, nb, seed=300 + i).astype(np.uint64)
+        * np.uint64(1 << 40) for i in range(NB)])
+    raw_mb = tiles.nbytes / 1e6
+    n_words = tiles[0].nbytes // 4 + 4096
+    ekb = _batch_encode_kernel(NB, (h, w, nb), "uint64", HILBERT,
+                               tuple(range(nb)), True, n_words)
+    dtiles = jax.device_put(jnp.asarray(tiles))
+    jax.block_until_ready(ekb(dtiles))
+    t_enc, s_enc = sustained_stats(lambda: ekb(dtiles), 10)
+
+    streams = encode_tiles(tiles, mode=Mode.FTL, index=True)
+    ok = streams[0] == qb3_tpu.encode(tiles[0], mode=Mode.FTL, index=True)
+    infos = [container.parse_headers(x) for x in streams]
+    wl = [payload_words(x[i.data_offset:]) for x, i in zip(streams, infos)]
+    flat, tw32 = _flat_tile_layout(wl)
+    glens = np.stack([np.frombuffer(i.index, dtype="<u2").astype(np.int32)
+                      for i in infos])
+    nblocks = (h // 4) * (w // 4)
+    R = _flat_window_R(glens, tw32, 64)
+    dkb = _batch_decode_kernel(NB, nblocks, nb, h, w, HILBERT,
+                               tuple(infos[0].cband), False, "uint64",
+                               flat.size, R, tw32, _indexed_nreg(glens, 64),
+                               _flat_fused_params(glens, tw32, 64))
+    dwp = jax.device_put(jnp.asarray(flat.reshape(-1)))
+    dgl = jax.device_put(jnp.asarray(glens.reshape(-1)))
+    out = dkb(dwp, dgl)
+    ok = ok and np.array_equal(np.asarray(out).view(np.uint64), tiles)
+    t_dec, s_dec = sustained_stats(lambda: dkb(dwp, dgl), 10)
+    plain = qb3_tpu.encode(tiles[0], mode=Mode.FTL)
+    save({"case": "ftl-u64-batch8",
+          "encode_MBps": round(raw_mb / t_enc, 1),
+          "decode_MBps": round(raw_mb / t_dec, 1),
+          "ratio_pct": round(100 * len(plain) / tiles[0].nbytes, 2),
+          "sidecar_pct": round(100 * (len(streams[0]) - len(plain))
+                               / len(plain), 2),
+          "enc_sigma_pct": round(100 * s_enc, 1),
+          "dec_sigma_pct": round(100 * s_dec, 1),
+          "oracle_exact": bool(ok)})
 
 
 def pipelined_rows(save):
@@ -409,7 +483,7 @@ def main():
         with open("BENCH_MATRIX.json", "w") as f:  # incremental: row-per-row
             json.dump(rows, f, indent=1)
 
-    for part in (pipelined_rows, foreign_row, mode_matrix):
+    for part in (pipelined_rows, foreign_row, wide_batch_row, mode_matrix):
         try:
             part(save)
         except Exception as e:  # pragma: no cover

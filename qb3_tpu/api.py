@@ -16,6 +16,7 @@ qb3_encode (QB3encode.cpp:488-574).
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -149,7 +150,30 @@ def _fast_kernel(shape, npdtype, order, cband, skipstep, n_words):
     from .ops.bitpack import group_bits_bound, pack_groups_auto
     from .ops.encode import encode_fast_blocks
 
-    maxbits = group_bits_bound(np.dtype(npdtype).itemsize * 8, best=False)
+    tbits = np.dtype(npdtype).itemsize * 8
+    maxbits = group_bits_bound(tbits, best=False)
+    h, w, nb = shape
+    # experimental image-layout phase A + fused relayout/pack kernel
+    # (ops/encode_image.py + ops/encode_pallas.py): byte-exact, but on this
+    # XLA/relay generation it measures at or below the block path (see
+    # doc/DESIGN.md "image-layout encode ablation"), so it stays opt-in
+    if (os.environ.get("QB3_ENC_FUSED") and tbits >= 16
+            and h % 4 == 0 and w % 4 == 0 and ((w // 4) * nb) % 128 == 0
+            and jax.default_backend() == "tpu"):
+        from .ops.encode_image import phase_a_image
+        from .ops.encode_pallas import encode_pack_image
+
+        def run_fused(img, entry_prev, entry_runbits):
+            o = phase_a_image(img, entry_prev, entry_runbits, order, cband,
+                              skipstep)
+            words, total, glen16 = encode_pack_image(
+                o["m_lo"], o["m_hi"], o["rung"].reshape(-1), o["gkind"],
+                o["prefix_code"].reshape(-1), o["prefix_len"].reshape(-1),
+                o["glen"], tbits, n_words, maxbits, w // 4, nb, order)
+            return (words, total, o["exit_prev"].astype(img.dtype),
+                    o["exit_runbits"], glen16, o["rung"])
+
+        return jax.jit(run_fused)
 
     def run(img, entry_prev, entry_runbits):
         codes, lens, exit_prev, exit_runbits, rung = encode_fast_blocks(

@@ -754,23 +754,33 @@ def decode_groups(words64, kind, val_pos, vrung, cf, apply_step: bool,
     return g, pos
 
 
-def _undelta_cumsum(seq, tbits: int, axis: int):
-    """Wrapping prefix sum of mag-sign deltas, exact mod 2^tbits.
+def _undelta_cumsum_planes(seq, tbits: int, axis: int):
+    """Wrapping prefix sum of mag-sign deltas, exact mod 2^tbits, returned
+    as (lo32, hi32-or-None) planes.
 
     Truncation commutes with addition, so narrow types run the cumsum in
     uint32 lanes (TPU-native) regardless of the 64-bit carrier; the 64-bit
     case splits into two u32 cumsums plus a carry count (cum_lo < lo
     detects each single-add wrap) — XLA's emulated u64 cumsum was measured
     at ~2 ms for 1M elements (ftl-u64 1024x1024), ~4x this formulation.
+    Downstream layout ops (inverse curve permute, block transposes) also
+    run per-plane: XLA's u64 relayouts are far below native u32 rate.
     """
     if tbits <= 32:
-        return jnp.cumsum(seq.astype(jnp.uint32), axis=axis)
+        return jnp.cumsum(seq.astype(jnp.uint32), axis=axis), None
     lo = seq.astype(jnp.uint32)
     hi = (seq >> 32).astype(jnp.uint32)
     cum_lo = jnp.cumsum(lo, axis=axis)
     wrap = (cum_lo < lo).astype(jnp.uint32)
     cum_hi = jnp.cumsum(hi + wrap, axis=axis)
-    return cum_lo.astype(jnp.uint64) | (cum_hi.astype(jnp.uint64) << 32)
+    return cum_lo, cum_hi
+
+
+def _undelta_cumsum(seq, tbits: int, axis: int):
+    lo, hi = _undelta_cumsum_planes(seq, tbits, axis)
+    if hi is None:
+        return lo
+    return lo.astype(jnp.uint64) | (hi.astype(jnp.uint64) << 32)
 
 
 def reconstruct_batch(groups, h: int, w: int, nbands: int, order: int,
@@ -786,16 +796,24 @@ def reconstruct_batch(groups, h: int, w: int, nbands: int, order: int,
     tbits = np.iinfo(out_dtype).bits
     ntiles, nblocks = groups.shape[0], groups.shape[1]
     seq = smag(groups).transpose(0, 2, 1, 3).reshape(ntiles, nbands, nblocks * B2)
-    csum = _undelta_cumsum(seq, tbits, axis=2)
-    vals = csum.reshape(ntiles, nbands, nblocks, B2).astype(out_dtype)
+    clo, chi = _undelta_cumsum_planes(seq, tbits, axis=2)
 
     offs = curve_offsets(order)
     lane_of = np.zeros((B, B), dtype=np.int32)
     for i, (dy, dx) in enumerate(offs):
         lane_of[dy, dx] = i
     inv = lane_of.reshape(-1)
-    t = vals[:, :, :, inv].reshape(ntiles, nbands, h // B, w // B, B, B)
-    img = t.transpose(0, 2, 4, 3, 5, 1).reshape(ntiles, h, w, nbands)
+
+    def relayout(plane):
+        v = plane.reshape(ntiles, nbands, nblocks, B2)
+        t = v[:, :, :, inv].reshape(ntiles, nbands, h // B, w // B, B, B)
+        return t.transpose(0, 2, 4, 3, 5, 1).reshape(ntiles, h, w, nbands)
+
+    if chi is None:
+        img = relayout(clo).astype(out_dtype)
+    else:
+        img = (relayout(clo).astype(jnp.uint64)
+               | (relayout(chi).astype(jnp.uint64) << 32)).astype(out_dtype)
     cb = np.asarray(cband, dtype=np.int32)
     add = cb != np.arange(nbands)
     core = img[:, :, :, cb]
@@ -824,9 +842,19 @@ def reconstruct(groups, entry_prev, h: int, w: int, nbands: int, order: int,
         lane_of[dy, dx] = i
     if h % B == 0 and w % B == 0:
         # aligned: static inverse curve permutation + layout transposes
+        # (64-bit: per-u32-plane — XLA's u64 relayouts are ~3x slower)
         inv = lane_of.reshape(-1)  # lane index for raster position dy*B+dx
-        t = vals[:, :, inv].reshape(nbands, h // B, w // B, B, B)
-        img = t.transpose(1, 3, 2, 4, 0).reshape(h, w, nbands)
+
+        def relayout(v):
+            t = v[:, :, inv].reshape(nbands, h // B, w // B, B, B)
+            return t.transpose(1, 3, 2, 4, 0).reshape(h, w, nbands)
+
+        if tbits == 64:
+            lo = relayout(vals.astype(jnp.uint32)).astype(jnp.uint64)
+            hi = relayout((vals >> 32).astype(jnp.uint32)).astype(jnp.uint64)
+            img = (lo | (hi << 32)).astype(out_dtype)
+        else:
+            img = relayout(vals)
     else:
         ys = block_origins(h)
         xs = block_origins(w)

@@ -235,17 +235,18 @@ def _encode_pack_kernel(PL: int, SUBT: int, W48: int, R8T: int, WC: int,
 
 @functools.partial(jax.jit, static_argnames=(
     "tbits", "n_words", "max_group_bits", "nbx", "C", "order", "interpret"))
-def encode_pack_image(m, rung, gkind, pcode, plen, glen, tbits: int,
+def encode_pack_image(m_lo, m_hi, rung, gkind, pcode, plen, glen, tbits: int,
                       n_words: int, max_group_bits: int, nbx: int, C: int,
                       order: int, interpret: bool = False):
-    """Pack an image's groups straight from image-layout mags.
+    """Pack an image's groups straight from image-layout mag-sign planes.
 
-    m: (H, W, C) mag-sign values (uint); rung/gkind/pcode/plen/glen: flat
-    (ngroups,) per-group arrays in raster-block x band order.  Requires
-    H % 4 == 0, W % 4 == 0 and (nbx * C) % 128 == 0 (one block-row per
-    grid tile).  Returns (words u32 (n_out,), total_bits, glen_u16).
+    m_lo/m_hi: (H, W, C) u32 pair planes (m_hi None for <= 32-bit types);
+    rung/gkind/pcode/plen/glen: flat (ngroups,) per-group arrays in
+    raster-block x band order.  Requires H % 4 == 0, W % 4 == 0 and
+    (nbx * C) % 128 == 0 (one block-row per grid tile).  Returns
+    (words u32 (n_out,), total_bits, glen_u16).
     """
-    h = m.shape[0]
+    h = m_lo.shape[0]
     nby = h // B
     G_tile = nbx * C
     SUBT = G_tile // 128
@@ -255,16 +256,12 @@ def encode_pack_image(m, rung, gkind, pcode, plen, glen, tbits: int,
     WCpad = -(-(WC + 128) // 128) * 128
     KW = min(768, WCpad)
 
-    # image planes in (H/4, 4, W*C) layout (free reshapes of the bitcast)
-    if tbits == 64:
-        m32 = jax.lax.bitcast_convert_type(m, jnp.uint32)  # (H, W, C, 2)
-        mlo = m32[..., 0].reshape(nby, B, WC)
-        mhi = m32[..., 1].reshape(nby, B, WC)
+    mlo = jax.lax.bitcast_convert_type(m_lo.reshape(nby, B, WC), jnp.int32)
+    if m_hi is not None:
+        mhi = jax.lax.bitcast_convert_type(m_hi.reshape(nby, B, WC),
+                                           jnp.int32)
     else:
-        mlo = m.astype(jnp.uint32).reshape(nby, B, WC)
         mhi = mlo[:, :1, :1]  # unused placeholder
-    mlo = jax.lax.bitcast_convert_type(mlo, jnp.int32)
-    mhi = jax.lax.bitcast_convert_type(mhi, jnp.int32)
 
     # per-group placement metadata (pack_groups_chunked scheme, per-subtile
     # 1024-word-aligned windows)

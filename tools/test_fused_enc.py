@@ -45,11 +45,9 @@ def main():
 
         def new(im):
             o = phase_a_image(im, ep, er, HILBERT, cband, skipstep)
-            rung = o["rung"].reshape(-1)
-            bu = o["bitsused"].reshape(-1)
-            gkind = jnp.where(bu > 1, 0, jnp.where(bu == 1, 1, 2))
             return encode_pack_image(
-                o["m"], rung, gkind, o["prefix_code"].reshape(-1),
+                o["m_lo"], o["m_hi"], o["rung"].reshape(-1), o["gkind"],
+                o["prefix_code"].reshape(-1),
                 o["prefix_len"].reshape(-1), o["glen"], tbits, n_words,
                 maxbits, w // 4, nb, HILBERT)
 
