@@ -163,13 +163,14 @@ def mode_matrix(save):
             dargs = (dw, jnp.asarray(starts.astype(np.int32)),
                      jnp.asarray(entry), zp)
         else:
-            from qb3_tpu.api import _indexed_nreg
+            from qb3_tpu.api import _fused_ix_params, _indexed_nreg
             glens = np.frombuffer(info.index, dtype="<u2").astype(np.int32)
             R = _indexed_window_R(glens, tb)
             dk = _decode_kernel_indexed(nblocks, nb, h, w, order,
                                         tuple(info.cband), mode != Mode.FTL,
                                         np.dtype(npdt).name, nw, R,
-                                        _indexed_nreg(glens, tb))
+                                        _indexed_nreg(glens, tb),
+                                        _fused_ix_params(glens, tb))
             dargs = (dw, jnp.asarray(glens), zp)
         out = dk(*dargs)
         assert (np.asarray(out[0]).reshape(img.shape) == img).all(), name
@@ -248,8 +249,30 @@ def foreign_row(save):
     t0 = time.perf_counter()
     list(decode_streams_pipelined(iter(batches)))
     tbulk = time.perf_counter() - t0
+    # leg breakdown: thread-parallel walks alone, then walks + device decode
+    # with the device barrier but NO raster fetch — on this relay the D2H
+    # line (~20 MB/s) walls the end-to-end number; production hosts fetch
+    # over PCIe (doc/DESIGN.md "transfer wall")
+    from concurrent.futures import ThreadPoolExecutor
+
+    from qb3_tpu.benchutil import sync
+    from qb3_tpu.foreign import _walk_one, decode_streams
+
+    flat_streams = [s for b in batches for s in b]
+    flat_infos = [container.parse_headers(s) for s in flat_streams]
+    t0 = time.perf_counter()
+    with ThreadPoolExecutor() as ex:
+        list(ex.map(_walk_one, flat_streams, flat_infos))
+    t_walks = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    for b in batches:
+        out, _dt = decode_streams(b)
+    sync([out])
+    t_dev = time.perf_counter() - t0
     save({"case": "foreign-stream-u8-bulk", "encode_MBps": None,
           "decode_MBps": round(bulk_mb / tbulk, 1),
+          "walk_parallel_MBps": round(bulk_mb / t_walks, 1),
+          "walk_plus_device_MBps": round(bulk_mb / t_dev, 1),
           "ref_decode_local_MBps": round(raw_mb / tr, 1),
           "ratio_pct": round(100 * len(ref_stream) / img.nbytes, 2),
           "sidecar_pct": 0.0, "oracle_exact": bool(ok)})

@@ -64,26 +64,80 @@ def png_codec(img: np.ndarray):
 
 def size_study(args, out_dir):
     import qb3_tpu
+    from qb3_tpu.batch import encode_tiles
+    from qb3_tpu.cli import BANDMIXES
 
-    cols = ["image", "raw", "png", "ftl", "base", "best", "best_deflate"]
-    rows = []
+    cols = ["image", "raw", "png", "ftl", "base", "best", "bestband",
+            "best_deflate", "bandmix_deflate"]
     times = {m: 0.0 for m in ("png_enc", "png_dec")}
-    total_raw = 0
+    names, imgs, pngs = [], [], []
     for name, img in load_corpus(args):
-        total_raw += img.nbytes
+        names.append(name)
+        imgs.append(img)
         pz, tpe, tpd = png_codec(img)
         times["png_enc"] += tpe
         times["png_dec"] += tpd
-        sizes = {"png": pz}
-        for label, mode in (("ftl", 8), ("base", 4), ("best", 7)):
-            s = qb3_tpu.encode(img, mode=mode)
-            sizes[label] = len(s)
-            if label == "best":
-                sizes["best_deflate"] = len(zlib.compress(s, 6))
-        rows.append([name, img.nbytes] + [sizes[c] for c in cols[2:]])
-        if len(rows) % 25 == 0:
-            print(f"  {len(rows)} images sized", flush=True)
+        pngs.append(pz)
+    total_raw = sum(im.nbytes for im in imgs)
+    n = len(imgs)
 
+    def batched_lens(mode, coreband=None):
+        """Per-image stream bytes via the batched encoder (32/dispatch for
+        same-shape runs; odd shapes one-shot)."""
+        out = [None] * n
+        by_shape = {}
+        for i, im in enumerate(imgs):
+            by_shape.setdefault(im.shape, []).append(i)
+        for shape, idxs in by_shape.items():
+            if len(idxs) < 2:
+                for i in idxs:
+                    out[i] = len(qb3_tpu.encode(imgs[i], mode=mode,
+                                                coreband=coreband))
+                continue
+            for j in range(0, len(idxs), 32):
+                part = idxs[j : j + 32]
+                tiles = np.stack([imgs[i] for i in part])
+                streams = encode_tiles(tiles, mode=mode, coreband=coreband)
+                for i, st in zip(part, streams):
+                    out[i] = len(st)
+        return out
+
+    ftl = batched_lens(8)
+    base = batched_lens(4)
+    best = batched_lens(7)
+    print("  base modes sized", flush=True)
+    # BestBand: the reference CLI's -m x exhaustive RGB core-band search
+    # (cqb3.cpp:561-586), smallest of the 10 combos per image
+    mix_lens = []
+    mix_streams_best = [None] * n
+    for mix in BANDMIXES:
+        mix_lens.append(batched_lens(7, coreband=mix))
+        print(f"  bandmix {mix} sized", flush=True)
+    bestband = []
+    for i in range(n):
+        if imgs[i].shape[2] == 3:
+            bestband.append(min(ml[i] for ml in mix_lens))
+        else:
+            bestband.append(best[i])
+    # deflate post-pass rows (zlib stands in for the reference study's zstd)
+    best_deflate, bandmix_deflate = [], []
+    for i in range(n):
+        s_plain = qb3_tpu.encode(imgs[i], mode=7)
+        best_deflate.append(len(zlib.compress(s_plain, 6)))
+        if imgs[i].shape[2] == 3:
+            wins = min(range(len(BANDMIXES)),
+                       key=lambda k: mix_lens[k][i])
+            s_mix = qb3_tpu.encode(imgs[i], mode=7,
+                                   coreband=BANDMIXES[wins])
+            bandmix_deflate.append(len(zlib.compress(s_mix, 6)))
+        else:
+            bandmix_deflate.append(best_deflate[-1])
+        if (i + 1) % 50 == 0:
+            print(f"  {i + 1} deflate rows", flush=True)
+
+    rows = [[names[i], imgs[i].nbytes, pngs[i], ftl[i], base[i], best[i],
+             bestband[i], best_deflate[i], bandmix_deflate[i]]
+            for i in range(n)]
     with open(os.path.join(out_dir, "sizes.csv"), "w") as f:
         f.write(",".join(cols) + "\n")
         for r in rows:
@@ -241,7 +295,8 @@ def main():
     if args.skip_sizes:
         return
     print("sizes:", flush=True)
-    rows, (raw, png, ftl, base, best, bestz), total_raw, times = size_study(args, args.out)
+    rows, (raw, png, ftl, base, best, bestband, bestz, mixz), \
+        total_raw, times = size_study(args, args.out)
     n = len(rows)
     mb = total_raw / 1e6
 
@@ -265,7 +320,9 @@ reference rates there: FTL 397.76 / BASE 327.44 / BEST 160.93 MB/s encode,
 | QB3 FTL | {ftl:,} | {100*ftl/raw:.2f}% | {100*(png-ftl)/png:.2f}% | {rate_cols('ftl')} |
 | QB3 BASE | {base:,} | {100*base/raw:.2f}% | {100*(png-base)/png:.2f}% | {rate_cols('base')} |
 | QB3 BEST | {best:,} | {100*best/raw:.2f}% | {100*(png-best)/png:.2f}% | {rate_cols('best')} |
+| QB3 BestBand (-m x) | {bestband:,} | {100*bestband/raw:.2f}% | {100*(png-bestband)/png:.2f}% | — | — |
 | QB3 BEST + deflate | {bestz:,} | {100*bestz/raw:.2f}% | {100*(png-bestz)/png:.2f}% | — | — |
+| QB3 BestBand + deflate | {mixz:,} | {100*mixz/raw:.2f}% | {100*(png-mixz)/png:.2f}% | — | — |
 
 QB3 streams are byte-identical to the reference implementation's, so the
 size columns equal the reference codec's on this corpus by construction.
