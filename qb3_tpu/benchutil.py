@@ -73,9 +73,12 @@ def sustained_stats(fn, iters: int = 30, windows: int = 3):
     platform so matrix rows carry their own error bar.
 
     Each window runs the FULL ``iters`` so the one trailing barrier is
-    amortized identically to :func:`sustained` — shrinking windows to
-    iters/3 was measured to deflate 2 ms kernels ~2.5x (the relay barrier
-    fetch is that expensive)."""
+    amortized identically to :func:`sustained`.  The round-5 variance
+    study (doc/DESIGN.md "variance: solved") showed the barrier round trip
+    costs ~20-75 ms with heavy jitter: at 20 iters/window a ~1 ms kernel
+    reads >2x slow with ~9% sigma; at >=100 iters/window the same kernel
+    converges to its true rate with <2% sigma.  Short-kernel callers must
+    size ``iters`` so iters * t_kernel >> 100 ms."""
     sync(fn())
     ts = []
     for _ in range(windows):
