@@ -102,7 +102,6 @@ def mode_matrix(save):
 
         # correctness gate: container stream bit-exact + lossless
         stream = qb3_tpu.encode(img, mode=mode)
-        from qb3_tpu.benchutil import sustained as _sus
         if oracle:
             assert stream == refqb3.ref_encode(img, mode=int(mode)), name
         dec, _ = qb3_tpu.decode(stream)
@@ -120,11 +119,11 @@ def mode_matrix(save):
                               mode == Mode.FTL, n_words)
             args = (dimg, jnp.zeros(nb, npdt), jnp.zeros(nb, jnp.int32))
         from qb3_tpu.benchutil import sustained_stats
-        t_probe = _sus(lambda: ek(*args), 8)
-        # iters sized so the window dwarfs the ~20-75 ms relay barrier
-        # jitter (doc/DESIGN.md variance study): short kernels need >= 100
-        it = max(30, min(150, int(0.25 / max(t_probe, 1e-4))))
-        t_enc, s_enc = sustained_stats(lambda: ek(*args), it)
+        # 150-iter windows dwarf the ~20-75 ms relay barrier jitter for
+        # every kernel in the matrix (doc/DESIGN.md variance study); the
+        # probe-based adaptive sizing underestimated (the probe itself is
+        # barrier-dominated)
+        t_enc, s_enc = sustained_stats(lambda: ek(*args), 150)
 
         # device decode via the best applicable sidecar path
         if mode == Mode.CF_H:
@@ -179,9 +178,7 @@ def mode_matrix(save):
             dargs = (dw, jnp.asarray(glens), zp)
         out = dk(*dargs)
         assert (np.asarray(out[0]).reshape(img.shape) == img).all(), name
-        t_probe_d = _sus(lambda: dk(*dargs), 8)
-        itd = max(30, min(150, int(0.25 / max(t_probe_d, 1e-4))))
-        t_dec, s_dec = sustained_stats(lambda: dk(*dargs), itd)
+        t_dec, s_dec = sustained_stats(lambda: dk(*dargs), 150)
         # ratio_pct charges the plain stream; sidecar_pct (every indexed row)
         # is what the decoded stream additionally carried — decoded-stream
         # ratio = ratio_pct * (1 + sidecar_pct/100)
