@@ -96,12 +96,16 @@ def delta_mags(vals, entry_prev):
     vals: (nblocks, C, B2); entry_prev: (C,) persisted band state
     (QB3common.h:63-65).  Returns (mags, exit_prev).
     """
-    nblocks, nb, _ = vals.shape
-    seq = vals.transpose(1, 0, 2).reshape(nb, nblocks * B2)
-    prev = jnp.concatenate([entry_prev[:, None], seq[:, :-1]], axis=1)
-    d = seq - prev
-    m = mags(d)
-    return m.reshape(nb, nblocks, B2).transpose(1, 0, 2), seq[:, -1]
+    # The scan-order lag-1 shift computed lane-wise (no transpose to the
+    # (C, nblocks*B2) sequence layout): lane i's predecessor is lane i-1 of
+    # the same block, lane 0's is lane B2-1 of the previous block.  The
+    # sequence-layout form costs a 6x layout penalty under vmap (batched
+    # wide-type encode, tools/profile_u64_phasea_vmap.py).
+    last = vals[:, :, B2 - 1]  # (nblocks, C)
+    prev_block = jnp.concatenate([entry_prev[None, :], last[:-1]], axis=0)
+    prev = jnp.concatenate([prev_block[:, :, None], vals[:, :, :-1]], axis=2)
+    m = mags(vals - prev)
+    return m, last[-1]
 
 
 def block_rungs(m, entry_runbits):
