@@ -88,6 +88,10 @@ def mode_matrix(save):
         ("ftl-u32", Mode.FTL, np.uint32, 1 << 20, 1024, 1024, 1),
         ("ftl-u64", Mode.FTL, np.uint64, 1 << 40, 1024, 1024, 1),
     ]
+    only = os.environ.get("QB3_BENCH_CASES")
+    if only:
+        want = only.split(",")
+        cases = [c for c in cases if c[0] in want]
     for name, mode, npdt, mult, h, w, nb in cases:
         selfcontained = name.endswith("selfcontained")
         img8 = natural_image(h, w, nb, seed=9)
@@ -107,17 +111,34 @@ def mode_matrix(save):
         dec, _ = qb3_tpu.decode(stream)
         assert (dec == img).all(), name
 
-        # device encode
+        # device encode; the pack bound tightens to the stream's actual max
+        # group length (glen of a first run, rounded up to 64) — the
+        # encode-side analog of the decode kernels' glens-derived R, exact
+        # by construction and verified against the unbucketed kernel below
+        from qb3_tpu.ops.bitpack import maxbits_bucket
         dimg = jax.device_put(jnp.asarray(uns))
+        tbits = np.dtype(npdt).itemsize * 8
         if mode == Mode.CF_H:
-            ek = _best_kernel((h, w, nb), np.dtype(npdt).name, order, cband,
-                              n_words)
+            mk = lambda mb: _best_kernel((h, w, nb), np.dtype(npdt).name,
+                                         order, cband, n_words, mb)
             args = (dimg, jnp.zeros(nb, npdt), jnp.zeros(nb, jnp.int32),
                     jnp.zeros(nb, npdt))
+            glen_ix = 5
         else:
-            ek = _fast_kernel((h, w, nb), np.dtype(npdt).name, order, cband,
-                              mode == Mode.FTL, n_words)
+            mk = lambda mb: _fast_kernel((h, w, nb), np.dtype(npdt).name,
+                                         order, cband, mode == Mode.FTL,
+                                         n_words, mb)
             args = (dimg, jnp.zeros(nb, npdt), jnp.zeros(nb, jnp.int32))
+            glen_ix = 4
+        ek0 = mk(None)
+        r0 = ek0(*args)
+        bucket = maxbits_bucket(int(np.asarray(r0[glen_ix]).max()), tbits,
+                                best=mode == Mode.CF_H)
+        ek = mk(bucket)
+        r1 = ek(*args)
+        nwu = (int(r0[1]) + 31) // 32
+        assert np.array_equal(np.asarray(r0[0])[:nwu],
+                              np.asarray(r1[0])[:nwu]), (name, "bucketed pack")
         from qb3_tpu.benchutil import sustained_stats
         # 150-iter windows dwarf the ~20-75 ms relay barrier jitter for
         # every kernel in the matrix (doc/DESIGN.md variance study); the
@@ -189,6 +210,7 @@ def mode_matrix(save):
                    100 * (len(sidx) - len(stream)) / len(stream), 2),
                "enc_sigma_pct": round(100 * s_enc, 1),
                "dec_sigma_pct": round(100 * s_dec, 1),
+               "pack_bucket_bits": bucket,
                "oracle_exact": bool(oracle)}
         save(row)
 
@@ -304,10 +326,19 @@ def wide_batch_row(save):
         * np.uint64(1 << 40) for i in range(NB)])
     raw_mb = tiles.nbytes / 1e6
     n_words = tiles[0].nbytes // 4 + 4096
-    ekb = _batch_encode_kernel(NB, (h, w, nb), "uint64", HILBERT,
-                               tuple(range(nb)), True, n_words)
+    from qb3_tpu.ops.bitpack import maxbits_bucket
+    ekb0 = _batch_encode_kernel(NB, (h, w, nb), "uint64", HILBERT,
+                                tuple(range(nb)), True, n_words)
     dtiles = jax.device_put(jnp.asarray(tiles))
-    jax.block_until_ready(ekb(dtiles))
+    rb0 = jax.block_until_ready(ekb0(dtiles))
+    bucket = maxbits_bucket(int(np.asarray(rb0[2]).max()), 64)
+    ekb = _batch_encode_kernel(NB, (h, w, nb), "uint64", HILBERT,
+                               tuple(range(nb)), True, n_words, bucket)
+    rb1 = ekb(dtiles)
+    for i in range(NB):
+        nwu = (int(rb0[1][i]) + 31) // 32
+        assert np.array_equal(np.asarray(rb0[0][i])[:nwu],
+                              np.asarray(rb1[0][i])[:nwu]), "bucketed batch"
     t_enc, s_enc = sustained_stats(lambda: ekb(dtiles), 10)
 
     streams = encode_tiles(tiles, mode=Mode.FTL, index=True)

@@ -146,12 +146,20 @@ def unpack_small(img: np.ndarray, h: int, w: int, nb: int) -> np.ndarray:
 # ------------------------------------------------------------------- encoder
 
 @functools.lru_cache(maxsize=64)
-def _fast_kernel(shape, npdtype, order, cband, skipstep, n_words):
+def _fast_kernel(shape, npdtype, order, cband, skipstep, n_words,
+                 maxbits=None):
+    """maxbits: optional tighter static bound on the per-group bit length
+    (e.g. the max of a known stream's glens, rounded up) — sizes the pack
+    kernel's slab/window to the data instead of the dtype worst case, the
+    encode-side analog of the decode kernels' glens-derived R.  Any value
+    >= the stream's true max group length is exact; the default is the
+    dtype bound."""
     from .ops.bitpack import group_bits_bound, pack_groups_auto
     from .ops.encode import encode_fast_blocks
 
     tbits = np.dtype(npdtype).itemsize * 8
-    maxbits = group_bits_bound(tbits, best=False)
+    if maxbits is None:
+        maxbits = group_bits_bound(tbits, best=False)
     h, w, nb = shape
     # experimental image-layout phase A + fused relayout/pack kernel
     # (ops/encode_image.py + ops/encode_pallas.py): byte-exact, but on this
@@ -186,11 +194,12 @@ def _fast_kernel(shape, npdtype, order, cband, skipstep, n_words):
 
 
 @functools.lru_cache(maxsize=64)
-def _best_kernel(shape, npdtype, order, cband, n_words):
+def _best_kernel(shape, npdtype, order, cband, n_words, maxbits=None):
     from .ops.bitpack import group_bits_bound, pack_groups_auto
     from .ops.encode_best import encode_best_blocks
 
-    maxbits = group_bits_bound(np.dtype(npdtype).itemsize * 8, best=True)
+    if maxbits is None:
+        maxbits = group_bits_bound(np.dtype(npdtype).itemsize * 8, best=True)
 
     def run(img, entry_prev, entry_runbits, entry_cf):
         (codes, lens, exit_prev, exit_runbits, exit_cf,

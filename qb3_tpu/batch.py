@@ -21,18 +21,21 @@ from .constants import B, HILBERT, B2, DType, Mode, ubits_for
 
 
 @functools.lru_cache(maxsize=32)
-def _batch_encode_kernel(n, shape, npdtype, order, cband, skipstep, n_words):
+def _batch_encode_kernel(n, shape, npdtype, order, cband, skipstep, n_words,
+                         maxbits=None):
     from .ops.bitpack import group_bits_bound, pack_groups_auto
     from .ops.encode import encode_fast_blocks
 
-    maxbits = group_bits_bound(np.dtype(npdtype).itemsize * 8, best=False)
+    if maxbits is None:
+        maxbits = group_bits_bound(np.dtype(npdtype).itemsize * 8, best=False)
     nb = shape[2]
 
     def one(img):
         zp = jnp.zeros(nb, dtype=img.dtype)
         zr = jnp.zeros(nb, dtype=jnp.int32)
         codes, lens, _, _, rung = encode_fast_blocks(img, zp, zr, order, cband,
-                                                     skipstep, with_rungs=True)
+                                                     skipstep, with_rungs=True,
+                                                     lanewise=True)
         words, total, glen = pack_groups_auto(codes, lens, n_words, maxbits)
         return words, total, glen, rung
 
@@ -59,7 +62,8 @@ def _batch_encode_kernel_ic(n, shape, npdtype, order, cband, skipstep,
         zp = jnp.zeros(nb, dtype=img.dtype)
         zr = jnp.zeros(nb, dtype=jnp.int32)
         codes, lens, _, _, rung = encode_fast_blocks(img, zp, zr, order, cband,
-                                                     skipstep, with_rungs=True)
+                                                     skipstep, with_rungs=True,
+                                                     lanewise=True)
         words, total, glen = pack_groups_auto(codes, lens, n_words, maxbits)
         g = jnp.zeros(nchunks * k_blocks * nb, jnp.int32)
         g = g.at[: nblocks * nb].set(glen.astype(jnp.int32))

@@ -85,6 +85,14 @@ def group_bits_bound(tbits: int, best: bool) -> int:
         (16 if tbits == 64 else 0) + 8 * (tbits + 2)
 
 
+def maxbits_bucket(max_glen: int, tbits: int, best: bool = False) -> int:
+    """Tightened static pack bound from a stream's observed max group
+    length (e.g. ``max(glens)`` of an ix sidecar), rounded up to 64 bits
+    to bound the kernel-variant count.  Exact for any stream whose groups
+    stay within the bucket; re-encoding the SAME data is always safe."""
+    return min(group_bits_bound(tbits, best), -(-int(max_glen) // 64) * 64)
+
+
 def pack_groups(codes, lens, n_words: int, max_group_bits: int):
     """Two-level pack: dense per-group slab fold + one group-level scatter.
 

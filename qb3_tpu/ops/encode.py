@@ -90,22 +90,34 @@ def gather_blocks(img, order: int, cband: tuple[int, ...]):
     return vals - core * (1 - keep)
 
 
-def delta_mags(vals, entry_prev):
+def delta_mags(vals, entry_prev, lanewise=None):
     """Running per-band delta in scan order, then mag-sign transform.
 
     vals: (nblocks, C, B2); entry_prev: (C,) persisted band state
     (QB3common.h:63-65).  Returns (mags, exit_prev).
+
+    Two byte-identical formulations: ``lanewise`` computes the lag-1 shift
+    without the transpose to the (C, nblocks*B2) sequence layout (lane i's
+    predecessor is lane i-1 of the same block; lane 0's, lane B2-1 of the
+    previous block) — that transpose costs a 6x layout penalty under vmap
+    and ~10% on wide types, but the sequence form is ~13% faster for
+    single u8 images (tools/profile_u64_phasea_vmap.py; A/B in the round-5
+    notes).  Default: lanewise for itemsize > 1; batch kernels force it.
     """
-    # The scan-order lag-1 shift computed lane-wise (no transpose to the
-    # (C, nblocks*B2) sequence layout): lane i's predecessor is lane i-1 of
-    # the same block, lane 0's is lane B2-1 of the previous block.  The
-    # sequence-layout form costs a 6x layout penalty under vmap (batched
-    # wide-type encode, tools/profile_u64_phasea_vmap.py).
-    last = vals[:, :, B2 - 1]  # (nblocks, C)
-    prev_block = jnp.concatenate([entry_prev[None, :], last[:-1]], axis=0)
-    prev = jnp.concatenate([prev_block[:, :, None], vals[:, :, :-1]], axis=2)
-    m = mags(vals - prev)
-    return m, last[-1]
+    if lanewise is None:
+        lanewise = vals.dtype.itemsize > 1
+    if lanewise:
+        last = vals[:, :, B2 - 1]  # (nblocks, C)
+        prev_block = jnp.concatenate([entry_prev[None, :], last[:-1]], axis=0)
+        prev = jnp.concatenate([prev_block[:, :, None], vals[:, :, :-1]],
+                               axis=2)
+        m = mags(vals - prev)
+        return m, last[-1]
+    nblocks, nb, _ = vals.shape
+    seq = vals.transpose(1, 0, 2).reshape(nb, nblocks * B2)
+    prev = jnp.concatenate([entry_prev[:, None], seq[:, :-1]], axis=1)
+    m = mags(seq - prev)
+    return m.reshape(nb, nblocks, B2).transpose(1, 0, 2), seq[:, -1]
 
 
 def block_rungs(m, entry_runbits):
@@ -297,17 +309,18 @@ def fast_symbols(m, bitsused, rung, oldrung, ubits: int, skipstep: bool):
 
 def encode_fast_blocks(img, entry_prev, entry_runbits, order: int,
                        cband: tuple[int, ...], skipstep: bool,
-                       with_rungs: bool = False):
+                       with_rungs: bool = False, lanewise=None):
     """Full phase-A for the fast encoder on one image.
 
     img: (H, W, C) unsigned; returns (codes, lens, exit_prev, exit_runbits)
     with codes/lens flattened to (nsymbols,) in stream order.
     with_rungs=True appends the per-block rung tensor (nblocks, C) int32 —
     the running runbits state, needed by the "ic" chunked-index sidecar.
+    lanewise passes through to delta_mags (batch kernels force True).
     """
     ubits = ubits_for(img.dtype.itemsize)
     vals = gather_blocks(img, order, cband)
-    m, exit_prev = delta_mags(vals, entry_prev)
+    m, exit_prev = delta_mags(vals, entry_prev, lanewise)
     bitsused, rung, oldrung, exit_runbits = block_rungs(m, entry_runbits)
     codes, lens = fast_symbols(m, bitsused, rung, oldrung, ubits, skipstep)
     nsym = codes.shape[-1]
