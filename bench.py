@@ -157,7 +157,7 @@ def mode_matrix(save):
         nw = 1 << max(4, int(np.ceil(np.log2(len(wordsv)))))
         wpad = np.zeros(nw, np.uint64)
         wpad[: len(wordsv)] = wordsv
-        dw = jax.device_put(jnp.asarray(wpad))
+        dw = jax.device_put(jnp.asarray(wpad.view(np.uint32)))
         zp = jnp.zeros(nb, dtype=jnp.uint64)
         tb = np.dtype(npdt).itemsize * 8
         if mode == Mode.CF_H and selfcontained:
@@ -354,7 +354,7 @@ def wide_batch_row(save):
                                tuple(infos[0].cband), False, "uint64",
                                flat.size, R, tw32, _indexed_nreg(glens, 64),
                                _flat_fused_params(glens, tw32, 64))
-    dwp = jax.device_put(jnp.asarray(flat.reshape(-1)))
+    dwp = jax.device_put(jnp.asarray(flat.reshape(-1).view(np.uint32)))
     dgl = jax.device_put(jnp.asarray(glens.reshape(-1)))
     out = dkb(dwp, dgl)
     ok = ok and np.array_equal(np.asarray(out).view(np.uint64), tiles)
@@ -454,7 +454,7 @@ def main():
     maxw, Ric = _ic_static_params(starts, total, np.uint8)
     dk = _decode_kernel_chunked(nblocks, nb, h, w, HILBERT, tuple(info.cband),
                                 False, "uint8", nw, k, maxw, Ric)
-    dwords = jax.device_put(jnp.asarray(wpad))
+    dwords = jax.device_put(jnp.asarray(wpad.view(np.uint32)))
     dstarts = jax.device_put(jnp.asarray(starts.astype(np.int32)))
     dentry = jax.device_put(jnp.asarray(entry))
     zprev = jnp.zeros(nb, dtype=jnp.uint64)
@@ -498,7 +498,7 @@ def main():
         dkb = _batch_decode_kernel_chunked(NB, nblocks, nb, h, w, HILBERT,
                                            tuple(infos[0].cband), False,
                                            "uint8", flat.size, kb, maxwb, Rb)
-        dwp = jax.device_put(jnp.asarray(flat.reshape(-1)))
+        dwp = jax.device_put(jnp.asarray(flat.reshape(-1).view(np.uint32)))
         dst = jax.device_put(jnp.asarray(bstarts.astype(np.int32)))
         den = jax.device_put(jnp.asarray(bentry))
         outb = dkb(dwp, dst, den)

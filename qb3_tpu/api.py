@@ -731,6 +731,9 @@ class Decoder:
         n_words = 1 << max(4, int(np.ceil(np.log2(len(words)))))
         wpad = np.zeros(n_words, np.uint64)
         wpad[: len(words)] = words
+        # u32 carrier: XLA's in-graph u64->u32 bitcast is a slow relayout
+        # copy on TPU (ops/bitutils.words_u32), so the payload ships as u32
+        wpad32 = wpad.view(np.uint32)
 
         if info.index_chunked is not None and is_fast_mode(info.mode):
             from .ops.decode_chunked import parse_ic
@@ -742,7 +745,7 @@ class Decoder:
                     nblocks, nb, h, w, order, tuple(info.cband),
                     info.mode != Mode.FTL, np.dtype(uns_dt).name, n_words, k,
                     maxw, R)
-                img, _ = kern(jnp.asarray(wpad),
+                img, _ = kern(jnp.asarray(wpad32),
                               jnp.asarray(starts.astype(np.int32)),
                               jnp.asarray(entry),
                               jnp.zeros(nb, dtype=jnp.uint64))
@@ -757,7 +760,7 @@ class Decoder:
                 kern = _decode_kernel_chunked_best(
                     nblocks, nb, h, w, order, tuple(info.cband),
                     np.dtype(uns_dt).name, n_words, k)
-                img, _ = kern(jnp.asarray(wpad),
+                img, _ = kern(jnp.asarray(wpad32),
                               jnp.asarray(starts.astype(np.int32)),
                               jnp.asarray(entry), jnp.asarray(pcf),
                               jnp.zeros(nb, dtype=jnp.uint64))
@@ -778,7 +781,7 @@ class Decoder:
                 nblocks, nb, h, w, order, tuple(info.cband),
                 info.mode != Mode.FTL, np.dtype(uns_dt).name, n_words, R,
                 _indexed_nreg(glens, tb), _fused_ix_params(glens, tb))
-            img, _ = kern(jnp.asarray(wpad), jnp.asarray(glens),
+            img, _ = kern(jnp.asarray(wpad32), jnp.asarray(glens),
                           jnp.zeros(nb, dtype=jnp.uint64))
             self.decode_path = "ix"
             return self._end_check(np.asarray(img),
@@ -792,7 +795,7 @@ class Decoder:
                 R = _window_R_from_pos(val_pos, tb) if tb <= 16 else None
                 kern = _decode_kernel(nblocks, nb, h, w, order, tuple(info.cband),
                                       True, np.dtype(uns_dt).name, n_words, R)
-                img, _ = kern(jnp.asarray(wpad), jnp.asarray(kind),
+                img, _ = kern(jnp.asarray(wpad32), jnp.asarray(kind),
                               jnp.asarray(val_pos), jnp.asarray(vrung),
                               jnp.asarray(cf), jnp.zeros(nb, dtype=jnp.uint64))
                 arr = np.frombuffer(info.index_best, dtype="<u2")
@@ -815,7 +818,7 @@ class Decoder:
                               info.mode != Mode.FTL, np.dtype(uns_dt).name,
                               n_words, R)
         img, _ = kern(
-            jnp.asarray(wpad),
+            jnp.asarray(wpad32),
             jnp.asarray(meta["kind"].reshape(-1)),
             jnp.asarray(meta["val_pos"].reshape(-1)),
             jnp.asarray(meta["vrung"].reshape(-1)),

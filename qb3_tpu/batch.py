@@ -323,7 +323,7 @@ def decode_tiles(streams: list[bytes]) -> np.ndarray:
         kern = _batch_decode_kernel_chunked(
             n, nblocks, nb, h, w, order, tuple(i0.cband),
             i0.mode != Mode.FTL, np.dtype(uns_dt).name, n_words, k, maxw, R)
-        out = np.asarray(kern(jnp.asarray(flat.reshape(-1)),
+        out = np.asarray(kern(jnp.asarray(flat.reshape(-1).view(np.uint32)),
                               jnp.asarray(starts.astype(np.int32)),
                               jnp.asarray(entry)))
         return out.view(np_dt)
@@ -342,7 +342,7 @@ def decode_tiles(streams: list[bytes]) -> np.ndarray:
         kern = _batch_best_decode_kernel(n, nblocks, nb, h, w,
                                          order, tuple(i0.cband),
                                          np.dtype(uns_dt).name, n_words, R)
-        out = np.asarray(kern(jnp.asarray(flat.reshape(-1)), jnp.asarray(kind),
+        out = np.asarray(kern(jnp.asarray(flat.reshape(-1).view(np.uint32)), jnp.asarray(kind),
                               jnp.asarray(val_pos), jnp.asarray(vrung),
                               jnp.asarray(cf)))
         return out.view(np_dt)
@@ -355,6 +355,6 @@ def decode_tiles(streams: list[bytes]) -> np.ndarray:
                                 np.dtype(uns_dt).name, n_words, R,
                                 tile_words32, _indexed_nreg(glens, tb),
                                 _flat_fused_params(glens, tile_words32, tb))
-    out = np.asarray(kern(jnp.asarray(flat.reshape(-1)),
+    out = np.asarray(kern(jnp.asarray(flat.reshape(-1).view(np.uint32)),
                           jnp.asarray(glens.reshape(-1))))
     return out.view(np_dt)

@@ -97,7 +97,7 @@ def decode_streams(streams: list[bytes], workers: int | None = None):
                                      tuple(i0.cband),
                                      np.dtype(uns_dt).name, flat.size, R,
                                      apply_step=i0.mode != Mode.FTL)
-    out = kern(jnp.asarray(flat.reshape(-1)), jnp.asarray(kind),
+    out = kern(jnp.asarray(flat.reshape(-1).view(np.uint32)), jnp.asarray(kind),
                jnp.asarray(val_pos), jnp.asarray(vrung), jnp.asarray(cf))
     return out, np_dt
 

@@ -67,6 +67,26 @@ def step_flip_index(m, rung):
     return match, ones
 
 
+def words_u32(words):
+    """Flat little-endian uint32 view of the payload words.
+
+    Accepts uint32 (preferred: XLA's u64->u32 bitcast lowers to a ~4.5 GB/s
+    relayout copy on TPU, ~1.9 ms for an 8 MB stream, so hot callers ship
+    the payload as u32 from the host) or uint64 (legacy)."""
+    if words.dtype == jnp.uint32:
+        return words.reshape(-1)
+    return jax.lax.bitcast_convert_type(words, jnp.uint32).reshape(-1)
+
+
+def words_u64(words):
+    """Flat little-endian uint64 view of the payload words (for the
+    peek64-based paths); converse of :func:`words_u32`."""
+    if words.dtype == jnp.uint64:
+        return words.reshape(-1)
+    return jax.lax.bitcast_convert_type(
+        words.reshape(-1, 2), jnp.uint64).reshape(-1)
+
+
 def peek64(words64, bitpos):
     """Gather 64 stream bits starting at arbitrary bit positions.
 

@@ -26,6 +26,8 @@ import functools
 import jax
 import jax.numpy as jnp
 import numpy as np
+
+from .bitutils import words_u32
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
@@ -176,7 +178,7 @@ def chunkwalk8(words64, starts, entry_rungs, MAXW: int, K: int, NB: int,
     decode garbage that callers discard.
     """
     nchunks = starts.shape[0]
-    words32 = jax.lax.bitcast_convert_type(words64, jnp.uint32).reshape(-1)
+    words32 = words_u32(words64)
     base = (starts >> 5).astype(jnp.int32)
     phase = (starts & 31).astype(jnp.int32)
 

@@ -24,7 +24,8 @@ _WAVE_ENV = os.environ.get("QB3_WAVE", "")
 from .. import tables as T
 from ..constants import B, B2, curve_offsets
 from ..offsets import KIND_BITS, KIND_CF, KIND_CF0, KIND_IDX, KIND_NORMAL, KIND_ZERO
-from .bitutils import magsabs, magsmul, peek64, smag, step_flip_index, topbit
+from .bitutils import (magsabs, magsmul, peek64, smag, step_flip_index,
+                       topbit, words_u32, words_u64)
 from .encode import block_origins
 
 _DEC_GROUP_LEN = jnp.asarray(T.DEC_GROUP[:, :, 0].astype(np.int32))
@@ -107,6 +108,7 @@ def indexed_meta(words64, glens, nblocks: int, nbands: int, ubits: int):
     Returns (kind, val_pos, vrung, cf) flat arrays matching decode_groups.
     """
     nmask = (1 << ubits) - 1
+    words64 = words_u64(words64)
     ends = jnp.cumsum(glens.astype(jnp.int64))
     goff = (ends - glens).reshape(nblocks, nbands)
     w = peek64(words64, goff)
@@ -164,7 +166,7 @@ def decode_indexed_narrow(words64, glens, nblocks: int, nbands: int,
         goff = (ends2 - g2 + tbase[:, None]).reshape(-1)
     base = (goff >> 5).astype(jnp.int32)
     off0 = (goff & 31).astype(jnp.int32)
-    words32 = jax.lax.bitcast_convert_type(words64, jnp.uint32).reshape(-1)
+    words32 = words_u32(words64)
 
     if use_pallas and fused is not None:
         # fused window-build + walk kernel (fusedwin_pallas)
@@ -462,7 +464,7 @@ def decode_groups_regwindow(words64, kind, val_pos, vrung, cf, apply_step: bool,
     if tbits == 8:
         # uint32 lanes throughout: 8 aligned u32 regs cover the 149-bit span;
         # each derived 32-bit window yields 3 values (codes <= 9 bits)
-        words32 = jax.lax.bitcast_convert_type(words64, jnp.uint32).reshape(-1)
+        words32 = words_u32(words64)
         base = (val_pos >> 5).astype(jnp.int32)
         nregs = 8
         regs = [words32[base + i] for i in range(nregs)]
@@ -482,6 +484,7 @@ def decode_groups_regwindow(words64, kind, val_pos, vrung, cf, apply_step: bool,
             return (lo >> sh) | high
     else:
         # 6 aligned u64 regs cover the 279-bit span; 3 values per 64-bit window
+        words64 = words_u64(words64)
         base = (val_pos >> 6).astype(jnp.int32)
         nregs = 6
         regs = [words64[base + i] for i in range(nregs)]
@@ -574,7 +577,7 @@ def decode_groups_fused(words64, kind, val_pos, vrung, cf, apply_step: bool,
     NREG = 8 if tbits == 8 else 14
     base = (val_pos >> 5).astype(jnp.int32)
     off0 = (val_pos & 31).astype(jnp.int32)
-    words32 = jax.lax.bitcast_convert_type(words64, jnp.uint32).reshape(-1)
+    words32 = words_u32(words64)
     if use_mxu:
         from .gather import gather_slabs_onehot8
 
@@ -690,6 +693,7 @@ def decode_groups(words64, kind, val_pos, vrung, cf, apply_step: bool,
     handling from the graph.
     """
     n = kind.shape[0]
+    words64 = words_u64(words64)
     pos = val_pos.astype(jnp.int64)
     is_zero = kind == KIND_ZERO
     is_bits = kind == KIND_BITS

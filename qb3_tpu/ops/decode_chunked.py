@@ -22,7 +22,7 @@ import numpy as np
 
 from ..constants import B2
 from .decode import _vlc_decode_arith, dsw_arith
-from .bitutils import step_flip_index
+from .bitutils import step_flip_index, words_u32
 
 # read once at import: toggling after first compile cannot retarget cached
 # jitted kernels, so a live env read inside traces would silently disagree
@@ -133,7 +133,7 @@ def decode_chunked(words64, starts, entry_rungs, k_blocks: int, nblocks: int,
     per = _PER[tbits]
     nchunks = starts.shape[0]
 
-    words32 = jax.lax.bitcast_convert_type(words64, jnp.uint32).reshape(-1)
+    words32 = words_u32(words64)
     n32 = words32.shape[0]
 
     def group_step(off, rung_band):
@@ -263,7 +263,7 @@ def decode_chunked_best(words64, starts, entry_rungs, entry_pcf,
     W = jnp.uint32 if tbits <= 16 else jnp.uint64
     VW = jnp.uint64  # value accumulation width (uniform carrier)
 
-    words32 = jax.lax.bitcast_convert_type(words64, jnp.uint32).reshape(-1)
+    words32 = words_u32(words64)
     n32 = words32.shape[0]
 
     def group_step(off, rung_band, pcf_band):

@@ -170,7 +170,7 @@ def decode_tiles_pipelined(stream_batches):
         if flat.size * 64 >= 1 << 31:
             raise QB3ShapeError("batch exceeds the 2^31-bit flat-decode limit")
         tb = np.dtype(uns_dt).itemsize * 8
-        dwp = jax.device_put(jnp.asarray(flat.reshape(-1)))
+        dwp = jax.device_put(jnp.asarray(flat.reshape(-1).view(np.uint32)))
         if best:
             metas = [_parse_best_sidecar(i.index_best, nblocks * nb)
                      for i in infos]

@@ -245,7 +245,7 @@ class StripDecoder:
         nw = 1 << max(4, int(np.ceil(np.log2(len(words)))))
         wpad = np.zeros(nw, np.uint64)
         wpad[: len(words)] = words
-        self._dwords = jnp.asarray(wpad)
+        self._dwords = jnp.asarray(wpad.view(np.uint32))
         self._n_words = nw
         # carried band state
         nb = info.nbands

@@ -80,7 +80,7 @@ def main():
     nw = 1 << max(4, int(np.ceil(np.log2(len(wordsv)))))
     wpad = np.zeros(nw, np.uint64)
     wpad[: len(wordsv)] = wordsv
-    dw = jax.device_put(jnp.asarray(wpad))
+    dw = jax.device_put(jnp.asarray(wpad.view(np.uint32)))
     glens = np.frombuffer(info.index, dtype="<u2").astype(np.int32)
     R = _indexed_window_R(glens, tb)
     nreg = _indexed_nreg(glens, tb)
