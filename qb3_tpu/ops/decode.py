@@ -787,6 +787,46 @@ def _undelta_cumsum(seq, tbits: int, axis: int):
     return lo.astype(jnp.uint64) | (hi.astype(jnp.uint64) << 32)
 
 
+def _undelta_cumsum_blocks(s, tbits: int):
+    """Hierarchical scan-order prefix sum of mag-sign deltas, block-major.
+
+    s: (..., nblocks, C, B2) uint64 (leading tile axes allowed).  The scan
+    sequence per band is blocks-major-then-lanes; rather than transposing to
+    the (C, nblocks*B2) layout (a full-tensor relayout XLA runs at ~8 GB/s
+    here), the prefix decomposes into an in-lane cumsum plus a block-level
+    carry chain — all in the native layout.  Exact mod 2^tbits: u32 planes
+    with single-add wrap counting (truncation commutes with addition).
+    Returns (lo, hi-or-None) u32 planes of the inclusive prefix, same shape.
+    """
+    bax, lax_ = -3, -1  # block axis, lane axis
+    if tbits <= 32:
+        lo = s.astype(jnp.uint32)
+        cl = jnp.cumsum(lo, axis=lax_)
+        tl = cl[..., B2 - 1]  # (..., nblocks, C) block totals
+        ctl = jnp.cumsum(tl, axis=-2)
+        zshape = ctl.shape[:-2] + (1,) + ctl.shape[-1:]
+        carry = jnp.concatenate(
+            [jnp.zeros(zshape, jnp.uint32), ctl[..., :-1, :]], axis=-2)
+        return cl + carry[..., None], None
+    lo = s.astype(jnp.uint32)
+    hi = (s >> 32).astype(jnp.uint32)
+    cl = jnp.cumsum(lo, axis=lax_)
+    wr = jnp.cumsum((cl < lo).astype(jnp.uint32), axis=lax_)
+    ch = jnp.cumsum(hi, axis=lax_) + wr
+    tl = cl[..., B2 - 1]
+    th = ch[..., B2 - 1]
+    ctl = jnp.cumsum(tl, axis=-2)
+    cwr = jnp.cumsum((ctl < tl).astype(jnp.uint32), axis=-2)
+    cth = jnp.cumsum(th, axis=-2) + cwr
+    zshape = ctl.shape[:-2] + (1,) + ctl.shape[-1:]
+    z = jnp.zeros(zshape, jnp.uint32)
+    carry_lo = jnp.concatenate([z, ctl[..., :-1, :]], axis=-2)[..., None]
+    carry_hi = jnp.concatenate([z, cth[..., :-1, :]], axis=-2)[..., None]
+    flo = cl + carry_lo
+    fhi = ch + carry_hi + (flo < cl).astype(jnp.uint32)
+    return flo, fhi
+
+
 def reconstruct_batch(groups, h: int, w: int, nbands: int, order: int,
                       cband: tuple[int, ...], out_dtype):
     """Flat multi-tile reconstruct: (ntiles, nblocks, C, B2) mag-sign groups
@@ -799,8 +839,8 @@ def reconstruct_batch(groups, h: int, w: int, nbands: int, order: int,
     assert h % B == 0 and w % B == 0, "batch reconstruct requires aligned tiles"
     tbits = np.iinfo(out_dtype).bits
     ntiles, nblocks = groups.shape[0], groups.shape[1]
-    seq = smag(groups).transpose(0, 2, 1, 3).reshape(ntiles, nbands, nblocks * B2)
-    clo, chi = _undelta_cumsum_planes(seq, tbits, axis=2)
+    # hierarchical block-major prefix per tile (see _undelta_cumsum_blocks)
+    clo, chi = _undelta_cumsum_blocks(smag(groups), tbits)
 
     offs = curve_offsets(order)
     lane_of = np.zeros((B, B), dtype=np.int32)
@@ -808,10 +848,9 @@ def reconstruct_batch(groups, h: int, w: int, nbands: int, order: int,
         lane_of[dy, dx] = i
     inv = lane_of.reshape(-1)
 
-    def relayout(plane):
-        v = plane.reshape(ntiles, nbands, nblocks, B2)
-        t = v[:, :, :, inv].reshape(ntiles, nbands, h // B, w // B, B, B)
-        return t.transpose(0, 2, 4, 3, 5, 1).reshape(ntiles, h, w, nbands)
+    def relayout(v):
+        t = v[:, :, :, inv].reshape(ntiles, h // B, w // B, nbands, B, B)
+        return t.transpose(0, 1, 4, 2, 5, 3).reshape(ntiles, h, w, nbands)
 
     if chi is None:
         img = relayout(clo).astype(out_dtype)
@@ -834,11 +873,20 @@ def reconstruct(groups, entry_prev, h: int, w: int, nbands: int, order: int,
     """
     tbits = np.iinfo(out_dtype).bits
     nblocks = groups.shape[0]
-    seq = smag(groups).transpose(1, 0, 2).reshape(nbands, nblocks * B2)
-    csum = _undelta_cumsum(seq, tbits, axis=1)
-    csum = csum + entry_prev[:, None].astype(csum.dtype)
-    vals = csum.reshape(nbands, nblocks, B2).astype(out_dtype)  # truncates mod 2^bits
-    exit_prev = csum[:, -1]
+    # hierarchical block-major prefix (no transpose to the sequence layout)
+    clo, chi = _undelta_cumsum_blocks(smag(groups), tbits)
+    ep = entry_prev.astype(jnp.uint64)
+    elo = ep.astype(jnp.uint32)[None, :, None]
+    if chi is None:
+        clo = clo + elo
+        exit_prev = clo[-1, :, B2 - 1]
+    else:
+        ehi = (ep >> 32).astype(jnp.uint32)[None, :, None]
+        nlo = clo + elo
+        chi = chi + ehi + (nlo < clo).astype(jnp.uint32)
+        clo = nlo
+        exit_prev = (clo[-1, :, B2 - 1].astype(jnp.uint64)
+                     | (chi[-1, :, B2 - 1].astype(jnp.uint64) << 32))
 
     offs = curve_offsets(order)
     lane_of = np.zeros((B, B), dtype=np.int32)
@@ -850,16 +898,20 @@ def reconstruct(groups, entry_prev, h: int, w: int, nbands: int, order: int,
         inv = lane_of.reshape(-1)  # lane index for raster position dy*B+dx
 
         def relayout(v):
-            t = v[:, :, inv].reshape(nbands, h // B, w // B, B, B)
-            return t.transpose(1, 3, 2, 4, 0).reshape(h, w, nbands)
+            t = v[:, :, inv].reshape(h // B, w // B, nbands, B, B)
+            return t.transpose(0, 3, 1, 4, 2).reshape(h, w, nbands)
 
         if tbits == 64:
-            lo = relayout(vals.astype(jnp.uint32)).astype(jnp.uint64)
-            hi = relayout((vals >> 32).astype(jnp.uint32)).astype(jnp.uint64)
+            lo = relayout(clo).astype(jnp.uint64)
+            hi = relayout(chi).astype(jnp.uint64)
             img = (lo | (hi << 32)).astype(out_dtype)
         else:
-            img = relayout(vals)
+            img = relayout(clo.astype(out_dtype))
     else:
+        vals = (clo if chi is None else
+                clo.astype(jnp.uint64)
+                | (chi.astype(jnp.uint64) << 32)).astype(out_dtype)
+        vals = vals.transpose(1, 0, 2)  # (C, nblocks, B2)
         ys = block_origins(h)
         xs = block_origins(w)
         nby, nbx = len(ys), len(xs)
