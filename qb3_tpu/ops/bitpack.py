@@ -85,6 +85,22 @@ def group_bits_bound(tbits: int, best: bool) -> int:
         (16 if tbits == 64 else 0) + 8 * (tbits + 2)
 
 
+def _chunked_pack_G(wide: bool, max_group_bits: int) -> int:
+    """Pack-kernel tile size (groups per grid step), from the round-5 G
+    sweep: u8-class and u64-class symbols run fastest at G=512, u16/u32 at
+    G=256 (15-25% over the old G=128 at every width).  The VMEM clamp
+    (mask + matmul scratch scale with G * R8T ~ G * max_group_bits) drops
+    to the next tier where the kernel would not fit — G=512 at the u64
+    worst-case bound fails Mosaic allocation."""
+    if wide:
+        pref = 512 if max_group_bits >= 576 else 256
+    else:
+        pref = 512 if max_group_bits <= 192 else 256
+    while pref > 128 and pref * max_group_bits > 448_000:
+        pref //= 2
+    return pref
+
+
 def maxbits_bucket(max_glen: int, tbits: int, best: bool = False) -> int:
     """Tightened static pack bound from a stream's observed max group
     length (e.g. ``max(glens)`` of an ix sidecar), rounded up to 64 bits
@@ -216,7 +232,9 @@ def pack_groups_auto(codes, lens, n_words: int, max_group_bits: int):
         # the separate fold re-reads S symbol streams W times through HBM
         from .pack_pallas import pack_groups_chunked
 
-        return pack_groups_chunked(codes, lens, n_words, max_group_bits)
+        wide = codes.dtype == jnp.uint64
+        return pack_groups_chunked(codes, lens, n_words, max_group_bits,
+                                   G=_chunked_pack_G(wide, max_group_bits))
     if on_tpu and os.environ.get("QB3_PACK") != "scatter":
         pack = pack_groups_pallas
     else:
