@@ -85,13 +85,16 @@ def group_bits_bound(tbits: int, best: bool) -> int:
         (16 if tbits == 64 else 0) + 8 * (tbits + 2)
 
 
-def _chunked_pack_G(wide: bool, max_group_bits: int) -> int:
+def _chunked_pack_G(wide: bool, max_group_bits: int, S: int) -> int:
     """Pack-kernel tile size (groups per grid step), from the round-5 G
     sweep: u8-class and u64-class symbols run fastest at G=512, u16/u32 at
-    G=256 (15-25% over the old G=128 at every width).  The VMEM clamp
-    (mask + matmul scratch scale with G * R8T ~ G * max_group_bits) drops
-    to the next tier where the kernel would not fit — G=512 at the u64
-    worst-case bound fails Mosaic allocation."""
+    G=256 (15-25% over the old G=128 at every width).  Clamps are
+    empirical Mosaic scoped-vmem limits (the stage-A unroll's live set
+    scales with S * W48 * G): best-mode symbol counts (S > 36) only fit
+    G=256 with a one-word slab row (maxbits <= 160); G=512 at the u64
+    worst-case bound fails allocation, so G*maxbits caps at 448k."""
+    if S > 36:
+        return 256 if max_group_bits <= 160 else 128
     if wide:
         pref = 512 if max_group_bits >= 576 else 256
     else:
@@ -233,8 +236,8 @@ def pack_groups_auto(codes, lens, n_words: int, max_group_bits: int):
         from .pack_pallas import pack_groups_chunked
 
         wide = codes.dtype == jnp.uint64
-        return pack_groups_chunked(codes, lens, n_words, max_group_bits,
-                                   G=_chunked_pack_G(wide, max_group_bits))
+        G = _chunked_pack_G(wide, max_group_bits, codes.shape[1])
+        return pack_groups_chunked(codes, lens, n_words, max_group_bits, G=G)
     if on_tpu and os.environ.get("QB3_PACK") != "scatter":
         pack = pack_groups_pallas
     else:
