@@ -428,12 +428,22 @@ def main():
     except ImportError:
         pass
 
-    # ---- device-resident encode
+    # ---- device-resident encode (glen-bucketed pack bound, verified
+    # word-exact against the unbucketed kernel — see mode_matrix)
+    from qb3_tpu.ops.bitpack import maxbits_bucket
     n_words = (max_encoded_size(w, h, nb, 0) + 3) // 4 + 2
-    ek = _fast_kernel((h, w, nb), "uint8", HILBERT, (1, 1, 1), True, n_words)
+    ek0 = _fast_kernel((h, w, nb), "uint8", HILBERT, (1, 1, 1), True, n_words)
     dimg = jax.device_put(jnp.asarray(img))
     p0 = jnp.zeros(nb, jnp.uint8)
     r0 = jnp.zeros(nb, jnp.int32)
+    r0_out = ek0(dimg, p0, r0)
+    bucket = maxbits_bucket(int(np.asarray(r0_out[4]).max()), 8)
+    ek = _fast_kernel((h, w, nb), "uint8", HILBERT, (1, 1, 1), True, n_words,
+                      bucket)
+    r1_out = ek(dimg, p0, r0)
+    nwu = (int(r0_out[1]) + 31) // 32
+    assert np.array_equal(np.asarray(r0_out[0])[:nwu],
+                          np.asarray(r1_out[0])[:nwu]), "headline bucketed pack"
     t_enc = sustained(lambda: ek(dimg, p0, r0), 150)
 
     # ---- device-resident decode: the self-contained "ic" path (the honest
