@@ -176,12 +176,14 @@ def decode_indexed_narrow(words64, glens, nblocks: int, nbands: int,
         base8 = (goff >> 8).astype(jnp.int32)
         G_BLK = 1024
         padf = (-ngroups) % G_BLK
-        inkernel = (ntiles == 1 and nbands <= 16
-                    and (nbands & (nbands - 1)) == 0)
+        per_tile = nblocks * nbands
+        inkernel = (nbands <= 16 and (nbands & (nbands - 1)) == 0
+                    and (ntiles == 1 or per_tile % G_BLK == 0))
         if inkernel:
             # codeswitch parse + band-segmented rung chain run inside the
             # kernel (grid steps are sequential, so the chain carries
-            # across tiles) — no pre-gather of any stream bits
+            # across grid tiles; flat batches reset it every
+            # per_tile/G_BLK steps) — no pre-gather of any stream bits
             ph = (goff & 255).astype(jnp.int32)
             if padf:
                 zpadf = jnp.zeros(padf, jnp.int32)
@@ -191,7 +193,9 @@ def decode_indexed_narrow(words64, glens, nblocks: int, nbands: int,
             dummy = jnp.zeros_like(ph)
             g, rung = wavefront_fused(words32, base8, ph, dummy, dummy,
                                       NREGW, tbits, R8, R8sub, G_BLK,
-                                      nbands=nbands)
+                                      nbands=nbands,
+                                      steps_per_tile=(0 if ntiles == 1
+                                                      else per_tile // G_BLK))
             g, rung = g[:ngroups], rung[:ngroups]
             kind1 = rung != 0  # group-coded (flip only applies to these)
         else:

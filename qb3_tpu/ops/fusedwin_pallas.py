@@ -120,7 +120,8 @@ def _dsw_arith32(w1, ubits: int):
 
 
 def _fused_kernel(NREGW: int, nch: int, G8: int, R8: int, R8P: int,
-                  R8sub: int, tbits: int, nbands: int | None):
+                  R8sub: int, tbits: int, nbands: int | None,
+                  steps_per_tile: int = 0):
     nrP = R8P // 128
     ubits = {8: 3, 16: 4, 32: 5, 64: 6}[tbits]
     nmask = (1 << ubits) - 1
@@ -184,12 +185,17 @@ def _fused_kernel(NREGW: int, nch: int, G8: int, R8: int, R8P: int,
                 carry = carry + jnp.where((lane & (nbands - 1)) == b,
                                           carry_ref[0, b], 0)
 
-            @pl.when(t == 0)
+            # rung chain resets at stream starts: step 0 (single stream)
+            # or every tile boundary (flat batch of independent streams)
+            is_start = (t == 0 if steps_per_tile == 0
+                        else jax.lax.rem(t, steps_per_tile) == 0)
+
+            @pl.when(is_start)
             def _():
                 for b in range(nbands):
                     carry_ref[0, b] = 0
 
-            carry = jnp.where(t == 0, 0, carry)
+            carry = jnp.where(is_start, 0, carry)
             rung = (_seg_prefix(delta, nbands, G8) + carry) & nmask
             rungv_ref[...] = rung
             for b in range(nbands):
@@ -318,10 +324,12 @@ def fused_params_from_offsets(goff: np.ndarray, maxglen: int, tbits: int,
 
 
 @functools.partial(jax.jit, static_argnames=(
-    "NREGW", "tbits", "R8", "R8sub", "G_BLK", "nbands", "interpret"))
+    "NREGW", "tbits", "R8", "R8sub", "G_BLK", "nbands", "interpret",
+    "steps_per_tile"))
 def wavefront_fused(words32, base8, off, rung, kind, NREGW: int, tbits: int,
                     R8: int, R8sub: int, G_BLK: int = 1024,
-                    nbands: int | None = None, interpret: bool = False):
+                    nbands: int | None = None, interpret: bool = False,
+                    steps_per_tile: int = 0):
     """base8 (ngroups,) i32 sorted 8-word-aligned window chunk indices
     (bit_offset >> 8), off (ngroups,) i32 value-start bit offset within the
     window (phase + codeswitch + flag), rung/kind as the wavefront kernels
@@ -332,6 +340,10 @@ def wavefront_fused(words32, base8, off, rung, kind, NREGW: int, tbits: int,
     band-segmented rung chain IN the kernel (off is then just the group
     start's bit phase, goff & 255, and rung/kind inputs are ignored) —
     removes the pre-gather entirely for FTL/BASE streams.
+
+    steps_per_tile > 0: the flat-batch layout — every steps_per_tile grid
+    steps a new independent stream starts and the rung chain resets
+    (requires each tile's group count == steps_per_tile * G_BLK).
     """
     ngroups = base8.shape[0]
     n_tiles = ngroups // G_BLK
@@ -381,7 +393,8 @@ def wavefront_fused(words32, base8, off, rung, kind, NREGW: int, tbits: int,
     )
     with jax.enable_x64(False):
         out = pl.pallas_call(
-            _fused_kernel(NREGW, nch, G8, R8, R8P, R8sub, tbits, nbands),
+            _fused_kernel(NREGW, nch, G8, R8, R8P, R8sub, tbits, nbands,
+                          steps_per_tile),
             grid_spec=grid_spec,
             out_shape=jax.ShapeDtypeStruct((nrows, n_tiles * G8, 128),
                                            jnp.int32),
