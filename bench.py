@@ -195,7 +195,7 @@ def mode_matrix(save):
                                         tuple(info.cband), mode != Mode.FTL,
                                         np.dtype(npdt).name, nw, R,
                                         _indexed_nreg(glens, tb),
-                                        _fused_ix_params(glens, tb))
+                                        _fused_ix_params(glens, tb, nb))
             dargs = (dw, jnp.asarray(glens), zp)
         out = dk(*dargs)
         assert (np.asarray(out[0]).reshape(img.shape) == img).all(), name

@@ -505,14 +505,16 @@ def _indexed_nreg(glens: np.ndarray, tbits: int) -> int:
     return min(_NREG_IX[tbits], max(4, -(-need // 4) * 4))
 
 
-def _fused_ix_params(glens: np.ndarray, tbits: int):
+def _fused_ix_params(glens: np.ndarray, tbits: int, nbands: int = 1):
     """Static params for the fused window-build walk (fusedwin_pallas), or
-    None off-TPU / for empty sidecars."""
+    None off-TPU / for empty sidecars.  nbands sizes the window for the
+    in-kernel parse's grid tile (pick_g_blk; non-power-of-two band counts
+    use larger tiles so the lane->band map stays static)."""
     if glens.size == 0 or jax.default_backend() != "tpu":
         return None
-    from .ops.fusedwin_pallas import fused_params
+    from .ops.fusedwin_pallas import fused_params, pick_g_blk
 
-    return fused_params(glens, tbits)
+    return fused_params(glens, tbits, pick_g_blk(nbands) or 1024)
 
 
 def _indexed_window_R(glens: np.ndarray, tbits: int, G: int = 128) -> int:
@@ -780,7 +782,7 @@ class Decoder:
             kern = _decode_kernel_indexed(
                 nblocks, nb, h, w, order, tuple(info.cband),
                 info.mode != Mode.FTL, np.dtype(uns_dt).name, n_words, R,
-                _indexed_nreg(glens, tb), _fused_ix_params(glens, tb))
+                _indexed_nreg(glens, tb), _fused_ix_params(glens, tb, nb))
             img, _ = kern(jnp.asarray(wpad32), jnp.asarray(glens),
                           jnp.zeros(nb, dtype=jnp.uint64))
             self.decode_path = "ix"

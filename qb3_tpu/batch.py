@@ -184,17 +184,19 @@ def _flat_tile_layout(wlists):
     return flat, tw64 * 2
 
 
-def _flat_fused_params(glens2d: np.ndarray, tile_words32: int, tbits: int):
+def _flat_fused_params(glens2d: np.ndarray, tile_words32: int, tbits: int,
+                       nbands: int = 1):
     """fusedwin_pallas static params over the flat layout, or None off-TPU."""
     if jax.default_backend() != "tpu" or glens2d.size == 0:
         return None
-    from .ops.fusedwin_pallas import fused_params_from_offsets
+    from .ops.fusedwin_pallas import fused_params_from_offsets, pick_g_blk
 
     n = glens2d.shape[0]
     ends = np.cumsum(glens2d.astype(np.int64), axis=1)
     tbase = (np.arange(n, dtype=np.int64) * tile_words32 * 32)[:, None]
     goff = (ends - glens2d + tbase).reshape(-1)
-    return fused_params_from_offsets(goff, int(glens2d.max(initial=0)), tbits)
+    return fused_params_from_offsets(goff, int(glens2d.max(initial=0)), tbits,
+                                     pick_g_blk(nbands) or 1024)
 
 
 def _flat_window_R(glens2d: np.ndarray, tile_words32: int, tbits: int,
@@ -354,7 +356,8 @@ def decode_tiles(streams: list[bytes]) -> np.ndarray:
                                 tuple(i0.cband), i0.mode != Mode.FTL,
                                 np.dtype(uns_dt).name, n_words, R,
                                 tile_words32, _indexed_nreg(glens, tb),
-                                _flat_fused_params(glens, tile_words32, tb))
+                                _flat_fused_params(glens, tile_words32, tb,
+                                                   nb))
     out = np.asarray(kern(jnp.asarray(flat.reshape(-1).view(np.uint32)),
                           jnp.asarray(glens.reshape(-1))))
     return out.view(np_dt)

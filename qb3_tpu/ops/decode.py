@@ -172,13 +172,18 @@ def decode_indexed_narrow(words64, glens, nblocks: int, nbands: int,
         # fused window-build + walk kernel (fusedwin_pallas)
         from .fusedwin_pallas import wavefront_fused
 
+        from .fusedwin_pallas import pick_g_blk
+
         NREGW, R8, R8sub = fused
         base8 = (goff >> 8).astype(jnp.int32)
-        G_BLK = 1024
-        padf = (-ngroups) % G_BLK
         per_tile = nblocks * nbands
-        inkernel = (nbands <= 16 and (nbands & (nbands - 1)) == 0
+        G_BLK = pick_g_blk(nbands) or 1024
+        padf = (-ngroups) % G_BLK
+        inkernel = (pick_g_blk(nbands) is not None
                     and (ntiles == 1 or per_tile % G_BLK == 0))
+        if not inkernel:
+            G_BLK = 1024
+            padf = (-ngroups) % G_BLK
         if inkernel:
             # codeswitch parse + band-segmented rung chain run inside the
             # kernel (grid steps are sequential, so the chain carries

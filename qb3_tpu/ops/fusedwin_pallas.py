@@ -81,20 +81,27 @@ def _seg_prefix(x, nb: int, G8: int):
     """In-kernel band-segmented prefix sum over the flat (G8, 128) group
     order (flat g = sublane*128 + lane): x[g] += x[g - nb*2^k] for all k.
 
-    nb must be a power of two <= 16, so every shift distance is either
-    < 128 (lane roll + sublane-carry) or a whole-sublane multiple."""
+    Any nb <= 16: a shift by d = m*128 + r is a lane roll by r plus a
+    sublane roll by m (lanes < r borrow one extra sublane)."""
     total = G8 * 128
     d = nb
     lane = jax.lax.broadcasted_iota(jnp.int32, (G8, 128), 1)
     sub = jax.lax.broadcasted_iota(jnp.int32, (G8, 128), 0)
     while d < total:
-        if d < 128:
-            a = pltpu.roll(x, d, 1)
+        r = d % 128
+        m = d // 128
+        if m == 0:
+            a = pltpu.roll(x, r, 1)
             b = pltpu.roll(a, 1, 0)
-            sh = jnp.where(lane >= d, a, jnp.where(sub == 0, 0, b))
-        else:
-            m = d // 128
+            sh = jnp.where(lane >= r, a, jnp.where(sub == 0, 0, b))
+        elif r == 0:
             sh = jnp.where(sub >= m, pltpu.roll(x, m, 0), 0)
+        else:
+            a = pltpu.roll(x, r, 1)
+            am = pltpu.roll(a, m, 0)
+            am1 = pltpu.roll(a, m + 1, 0)
+            sh = jnp.where(lane >= r, jnp.where(sub >= m, am, 0),
+                           jnp.where(sub >= m + 1, am1, 0))
         x = x + sh
         d *= 2
     return x
@@ -179,11 +186,21 @@ def _fused_kernel(NREGW: int, nch: int, G8: int, R8: int, R8P: int,
             dlen, ddelta = _dsw_arith32(srl(w0, 1), ubits)
             cs_len = jnp.where(has_cs, dlen, 1)
             delta = jnp.where(has_cs, ddelta, 0)
-            lane = jax.lax.broadcasted_iota(jnp.int32, (G8, 128), 1)
+            if nbands & (nbands - 1):
+                # non-power-of-two band count: G_BLK % nbands == 0 (caller
+                # guarantees), so each grid step starts at band 0 and the
+                # lane->band map is (sub*128 + lane) mod nbands — computed
+                # from iotas (Pallas kernels cannot capture array consts)
+                sub_io = jax.lax.broadcasted_iota(jnp.int32, (G8, 128), 0)
+                lane_io = jax.lax.broadcasted_iota(jnp.int32, (G8, 128), 1)
+                band = jax.lax.rem(sub_io * 128 + lane_io,
+                                   jnp.int32(nbands))
+            else:
+                lane_io = jax.lax.broadcasted_iota(jnp.int32, (G8, 128), 1)
+                band = lane_io & (nbands - 1)
             carry = jnp.zeros((G8, 128), jnp.int32)
             for b in range(nbands):
-                carry = carry + jnp.where((lane & (nbands - 1)) == b,
-                                          carry_ref[0, b], 0)
+                carry = carry + jnp.where(band == b, carry_ref[0, b], 0)
 
             # rung chain resets at stream starts: step 0 (single stream)
             # or every tile boundary (flat batch of independent streams)
@@ -285,6 +302,17 @@ def _fused_kernel(NREGW: int, nch: int, G8: int, R8: int, R8P: int,
             jax.lax.fori_loop(0, B2, value_step, off0)
 
     return kernel
+
+
+def pick_g_blk(nbands: int):
+    """Grid tile size (groups per step) for the in-kernel codeswitch parse,
+    or None when unsupported: the per-step carry export needs
+    G_BLK % nbands == 0 and Mosaic wants G_BLK/128 a multiple of 8."""
+    if nbands in (1, 2, 4, 8, 16):
+        return 1024
+    if nbands in (3, 6, 12):
+        return 3072
+    return None
 
 
 def fused_params(glens: np.ndarray, tbits: int, G_BLK: int = 1024):

@@ -216,7 +216,7 @@ def decode_tiles_pipelined(stream_batches):
                                         tuple(i0.cband), i0.mode != Mode.FTL,
                                         np.dtype(uns_dt).name, flat.size, R,
                                         tw32, _indexed_nreg(glens, tb),
-                                        _flat_fused_params(glens, tw32, tb))
+                                        _flat_fused_params(glens, tw32, tb, nb))
             out = kern(dwp, jnp.asarray(glens.reshape(-1)))
         _to_host_async([out])
         if pending is not None:
